@@ -1,0 +1,215 @@
+"""Sparse voxel tensors: coordinate pyramids + kernel maps, TPU-style.
+
+This is the rebuild of MinkowskiEngine's coordinate manager + sparse
+convolution (the external C++/CUDA dependency of the reference FCGF stack,
+SURVEY.md §2.3 item 1).  Instead of CPU hash tables we keep each level's
+voxel coordinates as a *sorted array of packed int32 keys* (see
+apr_tpu.ops.hashing); kernel maps become vectorized binary searches, and the
+sparse convolution becomes K gather+matmul accumulation steps — all static
+shapes, all on device.
+
+Semantics mirror ME for the ResUNet use-case:
+- stride-2 downsampling: output voxel coords = unique(floor(c / 2)) over the
+  input voxels (ME quantizes onto the doubled tensor stride);
+- a kernel-size-k same-level conv covers offsets in [-(k-1)/2, (k-1)/2]^3 in
+  units of the level's stride;
+- a stride-2 down conv with kernel 3 gathers fine voxels at 2*q + o,
+  o in [-1, 0, 1]^3, for each coarse output voxel q;
+- the transposed (up) conv is the exact adjoint: fine voxel f receives coarse
+  contributions from c = (f - o) / 2 wherever f - o is even per-axis;
+- missing neighbors hit the sentinel row (index == capacity) which carries
+  zero features, exactly ME's out-of-map behavior.
+
+Every map is a sentinel-padded int32 table, so a whole U-Net forward is one
+jit program with zero host synchronization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apr_tpu.ops.hashing import INVALID_KEY, pack_coords
+from apr_tpu.ops.voxelize import VoxelGrid
+
+
+class SparseLevel(NamedTuple):
+    """Voxels of one pyramid level (tensor stride 2^l), fixed capacity C_l.
+
+    coords are in *level units* (already divided by the stride).
+    """
+
+    coords: jnp.ndarray  # int32 [C, 3]
+    keys: jnp.ndarray    # int32 [C], ascending, INVALID_KEY padding
+    mask: jnp.ndarray    # bool  [C]
+
+
+def offsets_grid(kernel_size: int) -> np.ndarray:
+    """All integer offsets of a cubic kernel, ME's region ordering (z fastest)."""
+    r = kernel_size // 2
+    rng = np.arange(-r, r + 1)
+    grid = np.stack(
+        np.meshgrid(rng, rng, rng, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    return grid.astype(np.int32)
+
+
+def lookup_keys(level_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
+    """Index of each query key in the sorted level keys, or C if absent."""
+    c = level_keys.shape[0]
+    slot = jnp.clip(jnp.searchsorted(level_keys, query_keys), 0, c - 1)
+    found = level_keys[slot] == query_keys
+    return jnp.where(found, slot, c).astype(jnp.int32)
+
+
+def _query_offset(level: SparseLevel, query_coords, query_mask, off):
+    qk = pack_coords(query_coords + off[None, :])
+    qk = jnp.where(query_mask, qk, INVALID_KEY)
+    idx = lookup_keys(level.keys, qk)
+    # a query for INVALID_KEY must never match padding keys
+    return jnp.where(query_mask, idx, level.keys.shape[0])
+
+
+def kernel_map_same(level: SparseLevel, kernel_size: int = 3) -> jnp.ndarray:
+    """[C, k^3] neighbor table for a same-level conv (sentinel = C)."""
+    offs = jnp.asarray(offsets_grid(kernel_size))
+    maps = jax.vmap(
+        lambda off: _query_offset(level, level.coords, level.mask, off)
+    )(offs)
+    return maps.T  # [C, k^3]
+
+
+def kernel_map_down(
+    coarse: SparseLevel, fine: SparseLevel, kernel_size: int = 3
+) -> jnp.ndarray:
+    """[C_coarse, k^3] table of fine-level inputs for a stride-2 conv."""
+    offs = jnp.asarray(offsets_grid(kernel_size))
+    base = coarse.coords * 2
+
+    def one(off):
+        return _query_offset(fine, base + off[None, :], coarse.mask, jnp.zeros(3, jnp.int32))
+
+    # base + off done inside pack: reuse _query_offset by shifting base
+    maps = jax.vmap(
+        lambda off: _query_offset(fine, base, coarse.mask, off)
+    )(offs)
+    return maps.T
+
+
+def kernel_map_up(
+    fine: SparseLevel, coarse: SparseLevel, kernel_size: int = 3
+) -> jnp.ndarray:
+    """[C_fine, k^3] table of coarse-level inputs for the transposed conv.
+
+    Entry (f, o) = index of coarse voxel (fine_coords[f] - o) / 2 when that
+    division is exact, else sentinel.  This is the adjoint of
+    :func:`kernel_map_down` with matching offset order, so a weight tensor
+    indexed by o is shared consistently between the two directions.
+    """
+    offs = jnp.asarray(offsets_grid(kernel_size))
+    cc = coarse.keys.shape[0]
+
+    def one(off):
+        shifted = fine.coords - off[None, :]
+        even = jnp.all((shifted & 1) == 0, axis=-1)
+        cand = shifted >> 1
+        idx = _query_offset(coarse, cand, fine.mask & even, jnp.zeros(3, jnp.int32))
+        return jnp.where(even, idx, cc)
+
+    maps = jax.vmap(one)(offs)
+    return maps.T
+
+
+def downsample_level(level: SparseLevel, capacity: int) -> SparseLevel:
+    """Coarsen by 2: unique floor-halved coords, fixed capacity."""
+    coarse_coords = level.coords >> 1  # floor division incl. negatives
+    keys = jnp.where(level.mask, pack_coords(coarse_coords), INVALID_KEY)
+    uniq = jnp.unique(keys, size=capacity, fill_value=INVALID_KEY)
+    mask = uniq != INVALID_KEY
+    from apr_tpu.ops.hashing import unpack_coords
+
+    return SparseLevel(
+        coords=jnp.where(mask[:, None], unpack_coords(uniq), 0),
+        keys=uniq,
+        mask=mask,
+    )
+
+
+class SparsePyramid(NamedTuple):
+    """Everything a sparse U-Net forward needs, precomputed once per cloud."""
+
+    levels: Tuple[SparseLevel, ...]
+    same_maps: Tuple[jnp.ndarray, ...]   # per level: [C_l, 27]
+    down_maps: Tuple[jnp.ndarray, ...]   # level l -> l+1: [C_{l+1}, 27]
+    up_maps: Tuple[jnp.ndarray, ...]     # level l+1 -> l: [C_l, 27]
+    conv1_map: jnp.ndarray               # [C_0, k1^3] first-conv table
+
+
+@partial(jax.jit, static_argnames=("capacities", "conv1_kernel_size"))
+def build_pyramid(
+    grid: VoxelGrid,
+    capacities: Sequence[int],
+    conv1_kernel_size: int = 5,
+) -> SparsePyramid:
+    """Build the full coordinate pyramid from a level-0 voxelization.
+
+    ``capacities[l]`` is the static voxel budget of level l; ``capacities[0]``
+    must equal ``grid.capacity``.
+    """
+    assert capacities[0] == grid.capacity, (capacities[0], grid.capacity)
+    levels: List[SparseLevel] = [
+        SparseLevel(coords=grid.coords, keys=grid.keys, mask=grid.mask)
+    ]
+    for cap in capacities[1:]:
+        levels.append(downsample_level(levels[-1], cap))
+
+    same_maps = tuple(kernel_map_same(lv, 3) for lv in levels)
+    down_maps = tuple(
+        kernel_map_down(levels[l + 1], levels[l], 3)
+        for l in range(len(levels) - 1)
+    )
+    up_maps = tuple(
+        kernel_map_up(levels[l], levels[l + 1], 3)
+        for l in range(len(levels) - 1)
+    )
+    conv1_map = kernel_map_same(levels[0], conv1_kernel_size)
+    return SparsePyramid(
+        levels=tuple(levels),
+        same_maps=same_maps,
+        down_maps=down_maps,
+        up_maps=up_maps,
+        conv1_map=conv1_map,
+    )
+
+
+def sparse_conv_apply(
+    feats: jnp.ndarray,      # [N_in, Ci] source features
+    table: jnp.ndarray,      # [N_out, K] indices into feats (sentinel N_in)
+    weights: jnp.ndarray,    # [K, Ci, Co]
+    out_mask: Optional[jnp.ndarray] = None,  # [N_out]
+) -> jnp.ndarray:
+    """Gather-matmul-accumulate sparse convolution: one cloud.
+
+    Scanned over K so only one [N, Ci] gather is live at a time; each step is
+    an MXU matmul. The sentinel row contributes zeros (ME out-of-map parity).
+    """
+    n_in = feats.shape[0]
+    padded = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], 0)
+
+    def step(acc, inputs):
+        idx, w = inputs  # idx [N_out], w [Ci, Co]
+        gathered = padded[jnp.minimum(idx, n_in)]
+        gathered = jnp.where((idx < n_in)[:, None], gathered, 0.0)
+        return acc + jnp.dot(
+            gathered, w, preferred_element_type=jnp.float32
+        ), None
+
+    init = jnp.zeros((table.shape[0], weights.shape[-1]), jnp.float32)
+    out, _ = jax.lax.scan(step, init, (table.T, weights))
+    if out_mask is not None:
+        out = jnp.where(out_mask[:, None], out, 0.0)
+    return out.astype(feats.dtype)

@@ -1,0 +1,53 @@
+"""Segment pooling helpers over sentinel-padded index tables."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_mean_capped(
+    values: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int
+) -> jnp.ndarray:
+    """Mean of ``values`` [N, F] per segment; ids == num_segments are dropped.
+
+    Matches the barycenter pooling of the reference's C++ grid subsampling
+    (grid_subsampling.cpp SampledData accumulation).
+    """
+    ids = jnp.minimum(segment_ids, num_segments)
+    valid = segment_ids < num_segments
+    s = jax.ops.segment_sum(
+        jnp.where(valid[:, None], values, 0.0), ids, num_segments=num_segments + 1
+    )[:num_segments]
+    c = jax.ops.segment_sum(
+        valid.astype(jnp.int32), ids, num_segments=num_segments + 1
+    )[:num_segments]
+    return s / jnp.maximum(c, 1)[:, None]
+
+
+def gather_neighbors(
+    feats: jnp.ndarray, neighbor_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather [Ns, F] features by a sentinel-padded table [Nq, K] -> [Nq, K, F].
+
+    Sentinel index Ns yields a zero feature row — the shadow-point convention
+    of the reference (blocks.py:269 pads features with a zero row before
+    gathering).
+    """
+    ns = feats.shape[0]
+    padded = jnp.concatenate([feats, jnp.zeros((1,) + feats.shape[1:], feats.dtype)], 0)
+    return padded[jnp.minimum(neighbor_idx, ns)]
+
+
+def max_pool_neighbors(feats: jnp.ndarray, neighbor_idx: jnp.ndarray) -> jnp.ndarray:
+    """Max over each row's valid neighbors; shadow rows contribute -inf.
+
+    Parity with the reference's ``max_pool`` (blocks.py:61-74), which pads
+    with -1e6 features before the max.
+    """
+    ns = feats.shape[0]
+    padded = jnp.concatenate(
+        [feats, jnp.full((1,) + feats.shape[1:], -1e6, feats.dtype)], 0
+    )
+    gathered = padded[jnp.minimum(neighbor_idx, ns)]
+    return jnp.max(gathered, axis=1)

@@ -1,0 +1,152 @@
+"""Fixed-capacity on-device voxelization.
+
+Replaces three CPU-native voxel-hash variants of the reference with one
+device-side primitive (parity targets, see SURVEY.md §2.3):
+
+- ``ME.utils.sparse_quantize`` (dedup: one representative point per voxel) —
+  reference FCGF_APR/lib/complement_data_loader.py:671-674,
+- Open3D ``voxel_down_sample`` (barycenter) — reference
+  Predator_APR/datasets/kitti.py:464-475,
+- the in-repo C++ ``grid_subsampling`` (barycenter of points *and* features) —
+  reference Predator_APR/cpp_wrappers/cpp_subsampling/grid_subsampling.cpp.
+
+All outputs have static shapes: the caller picks a voxel ``capacity``; voxels
+are produced in ascending packed-key order, padding (and overflow beyond
+capacity) is pushed to the tail and flagged via ``mask``.  Instead of a hash
+table (a CPU idiom) we pack coordinates into collision-free int32 keys and use
+sort/searchsorted/segment ops, which XLA maps well onto TPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from apr_tpu.ops.hashing import INVALID_KEY, pack_coords, unpack_coords
+
+
+class VoxelGrid(NamedTuple):
+    """A voxelized point cloud with static capacity C over N input points.
+
+    Attributes:
+      coords:      int32 [C, 3] integer voxel coordinates (floor(p / voxel)).
+      keys:        int32 [C] packed coordinate keys, ascending; INVALID at pad.
+      mask:        bool  [C] True for real voxels.
+      point_voxel: int32 [N] voxel index in [0, C) per input point, or C for
+                   masked / overflowed points (sentinel == capacity).
+      counts:      int32 [C] number of points in each voxel.
+      barycenter:  float32 [C, 3] mean of member points (0 at padding).
+      rep:         int32 [C] index of the first (lowest-index) member point,
+                   or N at padding — the ``sel`` of ME.sparse_quantize.
+    """
+
+    coords: jnp.ndarray
+    keys: jnp.ndarray
+    mask: jnp.ndarray
+    point_voxel: jnp.ndarray
+    counts: jnp.ndarray
+    barycenter: jnp.ndarray
+    rep: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def num_voxels(self) -> jnp.ndarray:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+def voxelize(
+    points: jnp.ndarray,
+    voxel_size: float,
+    capacity: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> VoxelGrid:
+    """Quantize ``points`` [N, 3] onto a voxel grid with static ``capacity``.
+
+    If more than ``capacity`` distinct voxels exist, the voxels with the
+    largest packed keys are dropped and their points map to the sentinel
+    index ``capacity`` — size buckets upstream should make this rare.
+    """
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+
+    coords = jnp.floor(points / voxel_size).astype(jnp.int32)
+    keys = jnp.where(mask, pack_coords(coords), INVALID_KEY)
+
+    uniq = jnp.unique(keys, size=capacity, fill_value=INVALID_KEY)
+    vox_mask = uniq != INVALID_KEY
+
+    # Inverse mapping via binary search over the sorted unique keys.
+    slot = jnp.clip(jnp.searchsorted(uniq, keys), 0, capacity - 1)
+    found = (uniq[slot] == keys) & mask & (keys != INVALID_KEY)
+    point_voxel = jnp.where(found, slot, capacity).astype(jnp.int32)
+
+    ones = found.astype(jnp.int32)
+    counts = jax.ops.segment_sum(ones, point_voxel, num_segments=capacity + 1)[
+        :capacity
+    ]
+    psum = jax.ops.segment_sum(
+        jnp.where(found[:, None], points, 0.0),
+        point_voxel,
+        num_segments=capacity + 1,
+    )[:capacity]
+    barycenter = psum / jnp.maximum(counts, 1)[:, None]
+
+    pidx = jnp.where(found, jnp.arange(n, dtype=jnp.int32), n)
+    rep = jax.ops.segment_min(pidx, point_voxel, num_segments=capacity + 1)[
+        :capacity
+    ]
+    rep = jnp.where(vox_mask, rep, n).astype(jnp.int32)
+
+    return VoxelGrid(
+        coords=jnp.where(vox_mask[:, None], unpack_coords(uniq), 0),
+        keys=uniq,
+        mask=vox_mask,
+        point_voxel=point_voxel,
+        counts=counts,
+        barycenter=jnp.where(vox_mask[:, None], barycenter, 0.0),
+        rep=rep,
+    )
+
+
+def voxel_down_sample(
+    points: jnp.ndarray,
+    voxel_size: float,
+    capacity: int,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Open3D ``voxel_down_sample`` parity: barycenters of occupied voxels.
+
+    Returns (points [C, 3], mask [C]).
+    """
+    grid = voxelize(points, voxel_size, capacity, mask)
+    return grid.barycenter, grid.mask
+
+
+def grid_subsample(
+    points: jnp.ndarray,
+    voxel_size: float,
+    capacity: int,
+    features: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """C++ ``grid_subsampling`` parity: barycenter of points and mean features.
+
+    Returns (points [C, 3], features [C, F] or None, mask [C]).
+    """
+    grid = voxelize(points, voxel_size, capacity, mask)
+    if features is None:
+        return grid.barycenter, None, grid.mask
+    found = grid.point_voxel < capacity
+    fsum = jax.ops.segment_sum(
+        jnp.where(found[:, None], features, 0.0),
+        grid.point_voxel,
+        num_segments=capacity + 1,
+    )[:capacity]
+    fmean = fsum / jnp.maximum(grid.counts, 1)[:, None]
+    return grid.barycenter, jnp.where(grid.mask[:, None], fmean, 0.0), grid.mask

@@ -1,0 +1,96 @@
+"""Correspondence generation: feature-space NN matching + GT radius matches.
+
+Rebuilds, on device:
+- ``find_corr`` / ``find_nn_gpu`` (FCGF_APR/scripts/test_apr.py:43-57;
+  FCGF_APR/lib/eval.py:18-44): nearest neighbor in feature space,
+- ``mutual_selection`` (Predator_APR/lib/benchmark_utils.py:271-295),
+- ``get_matching_indices`` / ``get_correspondences`` GT radius matches under
+  the ground-truth transform (FCGF_APR/util/pointcloud.py:53-66;
+  Predator_APR/lib/benchmark_utils.py:121-135).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from apr_tpu.geometry.se3 import apply_transform
+from apr_tpu.ops.chamfer import nn_distances
+from apr_tpu.ops.neighbors import radius_neighbors
+
+
+class Correspondences(NamedTuple):
+    """Sentinel-padded correspondence set between two clouds."""
+
+    src_idx: jnp.ndarray  # int32 [M]
+    tgt_idx: jnp.ndarray  # int32 [M]
+    mask: jnp.ndarray     # bool  [M]
+
+
+def feature_nn_correspondences(
+    feats0: jnp.ndarray,
+    feats1: jnp.ndarray,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+) -> Correspondences:
+    """One correspondence per source point: its feature-space NN in cloud 1."""
+    n0 = feats0.shape[0]
+    if mask0 is None:
+        mask0 = jnp.ones((n0,), bool)
+    _, idx = nn_distances(feats0, feats1, s_mask=mask1)
+    return Correspondences(
+        src_idx=jnp.arange(n0, dtype=jnp.int32),
+        tgt_idx=idx.astype(jnp.int32),
+        mask=mask0 & (idx < feats1.shape[0]),
+    )
+
+
+def mutual_nn_correspondences(
+    feats0: jnp.ndarray,
+    feats1: jnp.ndarray,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+) -> Correspondences:
+    """Keep only pairs that are each other's feature-space NN."""
+    n0 = feats0.shape[0]
+    if mask0 is None:
+        mask0 = jnp.ones((n0,), bool)
+    _, idx01 = nn_distances(feats0, feats1, s_mask=mask1)
+    _, idx10 = nn_distances(feats1, feats0, s_mask=mask0)
+    back = idx10[jnp.clip(idx01, 0, feats1.shape[0] - 1)]
+    mutual = back == jnp.arange(n0)
+    return Correspondences(
+        src_idx=jnp.arange(n0, dtype=jnp.int32),
+        tgt_idx=idx01.astype(jnp.int32),
+        mask=mask0 & mutual & (idx01 < feats1.shape[0]),
+    )
+
+
+def gt_correspondences(
+    xyz0: jnp.ndarray,
+    xyz1: jnp.ndarray,
+    transform: jnp.ndarray,
+    radius: float,
+    cap_per_point: int,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+) -> Correspondences:
+    """All (i, j) with ||T x0_i - x1_j|| < radius, like get_matching_indices.
+
+    Fixed capacity: each source point contributes at most ``cap_per_point``
+    matches (distance-sorted), giving a static [N0 * cap] table.
+    """
+    n0, n1 = xyz0.shape[0], xyz1.shape[0]
+    if mask0 is None:
+        mask0 = jnp.ones((n0,), bool)
+    warped = apply_transform(xyz0, transform)
+    nbr = radius_neighbors(
+        warped, xyz1, radius, cap_per_point, q_mask=mask0, s_mask=mask1
+    )  # [N0, cap]
+    src = jnp.repeat(jnp.arange(n0, dtype=jnp.int32), cap_per_point)
+    tgt = nbr.reshape(-1)
+    valid = tgt < n1
+    return Correspondences(
+        src_idx=src, tgt_idx=jnp.where(valid, tgt, 0).astype(jnp.int32), mask=valid
+    )

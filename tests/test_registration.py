@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apr_tpu.geometry import apply_transform, rotation_from_euler
+from apr_tpu.registration import (
+    feature_nn_correspondences,
+    mutual_nn_correspondences,
+    gt_correspondences,
+    ransac_pose,
+    registration_errors,
+    registration_success,
+)
+
+
+def _rigid(rng, angle=0.5, trans=10.0):
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = np.asarray(
+        rotation_from_euler(jnp.asarray(rng.uniform(-angle, angle, 3)))
+    )
+    t[:3, 3] = rng.uniform(-trans, trans, 3)
+    return t
+
+
+def test_feature_nn(rng):
+    f1 = rng.normal(size=(100, 16)).astype(np.float32)
+    perm = rng.permutation(100)
+    f0 = f1[perm] + rng.normal(size=(100, 16)).astype(np.float32) * 0.01
+    corr = feature_nn_correspondences(jnp.asarray(f0), jnp.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(corr.tgt_idx), perm)
+    assert np.asarray(corr.mask).all()
+
+
+def test_mutual_nn_filters(rng):
+    f1 = rng.normal(size=(64, 8)).astype(np.float32)
+    f0 = np.concatenate([f1[:32] + 1e-3, rng.normal(size=(32, 8)).astype(np.float32) * 0.01])
+    corr = mutual_nn_correspondences(jnp.asarray(f0), jnp.asarray(f1))
+    m = np.asarray(corr.mask)
+    # the first 32 are true mutual NNs
+    assert m[:32].all()
+    np.testing.assert_array_equal(np.asarray(corr.tgt_idx)[:32], np.arange(32))
+
+
+def test_gt_correspondences(rng):
+    t = _rigid(rng)
+    x0 = rng.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+    x1 = np.asarray(apply_transform(jnp.asarray(x0), jnp.asarray(t)))
+    corr = gt_correspondences(
+        jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(t), radius=0.1, cap_per_point=4
+    )
+    m = np.asarray(corr.mask)
+    # every point matches itself under the exact transform
+    si, ti = np.asarray(corr.src_idx)[m], np.asarray(corr.tgt_idx)[m]
+    assert set(zip(si.tolist(), ti.tolist())) >= {(i, i) for i in range(200)}
+
+
+def test_ransac_recovers_pose(rng, jax_key):
+    t_gt = _rigid(rng)
+    n = 512
+    src = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+    tgt = np.array(apply_transform(jnp.asarray(src), jnp.asarray(t_gt)))
+    tgt += rng.normal(size=(n, 3)).astype(np.float32) * 0.02
+    # corrupt 60% of correspondences
+    n_bad = int(n * 0.6)
+    bad = rng.choice(n, n_bad, replace=False)
+    tgt[bad] = rng.uniform(-20, 20, size=(n_bad, 3))
+
+    res = ransac_pose(
+        jax_key,
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        distance_threshold=0.3,
+        num_hypotheses=4096,
+        hypothesis_chunk=512,
+    )
+    rte, rre = registration_errors(res.transform, jnp.asarray(t_gt))
+    assert float(rte) < 0.1, float(rte)
+    assert float(rre) < 1.0, float(rre)
+    assert bool(registration_success(res.transform, jnp.asarray(t_gt)))
+    assert float(res.fitness) > 0.3
+
+
+def test_ransac_respects_mask(rng, jax_key):
+    t_gt = _rigid(rng)
+    n = 256
+    src = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+    tgt = np.array(apply_transform(jnp.asarray(src), jnp.asarray(t_gt)))
+    # valid half is clean; masked half is pure garbage pointing to a wrong pose
+    mask = np.zeros(n, bool)
+    mask[:128] = True
+    t_wrong = _rigid(rng)
+    tgt[128:] = np.asarray(
+        apply_transform(jnp.asarray(src[128:]), jnp.asarray(t_wrong))
+    )
+    res = ransac_pose(
+        jax_key,
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        corr_mask=jnp.asarray(mask),
+        distance_threshold=0.3,
+        num_hypotheses=2048,
+        hypothesis_chunk=512,
+    )
+    assert bool(registration_success(res.transform, jnp.asarray(t_gt)))
+    # no masked correspondence may count as inlier
+    assert not np.asarray(res.inliers)[128:].any()
+
+
+def test_e2e_slice_features_to_pose(rng, jax_key):
+    """SURVEY.md §7 step 2's minimum end-to-end slice:
+
+    synthetic pair -> per-point 'features' (noisy coordinates imitating an
+    untrained encoder) -> feature NN matching -> RANSAC -> pose vs GT.
+    """
+    t_gt = _rigid(rng, angle=0.4, trans=15.0)
+    n = 1024
+    cloud = rng.uniform(-30, 30, size=(n, 3)).astype(np.float32)
+    x0 = cloud + rng.normal(size=(n, 3)).astype(np.float32) * 0.01
+    x1 = np.asarray(apply_transform(jnp.asarray(cloud), jnp.asarray(t_gt)))
+
+    # "features": warped coordinates (a perfect-feature stand-in, the way the
+    # reference validates its harness with GT-derived matches)
+    f0 = np.array(apply_transform(jnp.asarray(x0), jnp.asarray(t_gt)))
+    f0 += rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+    f1 = x1
+
+    corr = mutual_nn_correspondences(jnp.asarray(f0), jnp.asarray(f1))
+    tgt_pts = jnp.asarray(f1)[jnp.clip(corr.tgt_idx, 0, n - 1)]
+    res = ransac_pose(
+        jax_key,
+        jnp.asarray(x0),
+        tgt_pts,
+        corr_mask=corr.mask,
+        distance_threshold=0.3,
+        num_hypotheses=2048,
+        hypothesis_chunk=512,
+    )
+    rte, rre = registration_errors(res.transform, jnp.asarray(t_gt))
+    assert float(rte) < 0.3 and float(rre) < 2.0, (float(rte), float(rre))
