@@ -1,0 +1,141 @@
+"""Typed configuration for the whole framework.
+
+One dataclass replaces the reference's two config systems — FCGF's ~60-flag
+argparse namespace (FCGF_APR/config.py:17-145) and Predator's flattened-YAML
+EasyDict god-object (Predator_APR/lib/utils.py:46-65, main.py:52-114).  Field
+names keep the reference spelling so shell scripts / YAML files translate
+1:1; YAML and CLI overlays layer onto the same dataclass (no mutation of the
+config into a carry-all).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class APRConfig:
+    # --- trainer ---
+    trainer: str = "GenerativePairTrainer"
+    batch_size: int = 4
+    val_batch_size: int = 1
+    iter_size: int = 1
+    max_epoch: int = 200
+    stat_freq: int = 40
+    val_epoch_freq: int = 1
+    best_val_metric: str = "feat_match_ratio"
+    seed: int = 0
+
+    # --- model (FCGF path) ---
+    model: str = "ResUNetFatBN"
+    model_n_out: int = 128
+    conv1_kernel_size: int = 5
+    normalize_feature: bool = True
+    bn_momentum: float = 0.05
+    generator_model: str = "GenerativeMLP_98"
+    point_generation_ratio: int = 4
+    symmetric: bool = False
+
+    # --- contrastive loss ---
+    num_pos_per_batch: int = 1024
+    num_hn_samples_per_batch: int = 256
+    pos_thresh: float = 0.1
+    neg_thresh: float = 1.4
+    neg_weight: float = 1.0
+    hit_ratio_thresh: float = 0.3
+
+    # --- generative loss ---
+    loss_ratio: float = 2e-3
+    regularization_strength: float = 0.01
+    regularization_type: str = "L2"
+    alpha: float = 1.0
+
+    # --- optimizer ---
+    optimizer: str = "SGD"
+    lr: float = 1e-1
+    sgd_momentum: float = 0.9
+    weight_decay: float = 1e-4
+    exp_gamma: float = 0.99
+
+    # --- data / APG ---
+    dataset: str = "PairComplementKittiDataset"
+    kitti_root: str = "./data/kitti"
+    voxel_size: float = 0.3
+    pair_min_dist: float = 5.0
+    pair_max_dist: float = 20.0
+    complement_pair_dist: float = 10.0
+    num_complement_one_side: int = 3
+    use_old_pose: bool = False
+    min_scale: float = 0.8
+    max_scale: float = 1.2
+    rotation_range: float = 360.0
+    random_scale: bool = True
+    random_rotation: bool = True
+    mutate_neighbour_percentage: float = 0.0
+    LoKITTI: bool = False
+    LoNUSCENES: bool = False
+    downsample_single: float = 1.0
+    positive_pair_search_voxel_size_multiplier: float = 1.5
+
+    # --- static capacities (TPU buffers; no reference analog) ---
+    point_capacity: int = 131072          # raw points per cloud
+    capacities: Tuple[int, ...] = (16384, 8192, 4096, 2048)
+    apc_capacity: int = 65536             # aggregated point cloud target
+    corr_capacity_per_point: int = 1      # GT matches kept per source point
+
+    # --- eval ---
+    test_num_ransac_hypotheses: int = 32768
+    test_ransac_dist_thresh: Optional[float] = None  # default: voxel_size
+    test_subsample: int = 5000
+    rte_thresh: float = 2.0
+    rre_thresh: float = 5.0
+
+    # --- io ---
+    out_dir: str = "./outputs"
+    resume: Optional[str] = None
+    weights: Optional[str] = None
+
+    # --- parallel ---
+    num_devices: Optional[int] = None  # default: all
+
+    def replace(self, **kw) -> "APRConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "APRConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        known = {k: v for k, v in d.items() if k in names}
+        for f in dataclasses.fields(cls):
+            if f.name in known and isinstance(f.default, tuple):
+                known[f.name] = tuple(known[f.name])
+        return cls(**known)
+
+    @classmethod
+    def load_json(cls, path: str) -> "APRConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "APRConfig":
+        """Two-level YAML (Predator style) or flat YAML both flatten in."""
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        flat = {}
+        for k, v in raw.items():
+            if isinstance(v, dict):
+                flat.update(v)
+            else:
+                flat[k] = v
+        return cls.from_dict(flat)

@@ -1,0 +1,112 @@
+"""Host-side input pipeline: pad, collate, prefetch, feed the device.
+
+Replaces torch DataLoader worker processes (reference
+complement_data_loader.py:1375-1382) with a double-buffered background-thread
+prefetcher: batch i+1's numpy assembly overlaps batch i's device step; the
+expensive geometry (voxelize / pyramids / correspondences) runs on device in
+``make_pair_batch``, so the host only reads + pads.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from apr_tpu.config import APRConfig
+from apr_tpu.data.datasets import PairDataset
+from apr_tpu.data.synthetic import pad_points
+from apr_tpu.training.batching import PairBatch, make_pair_batch
+
+
+def collate_pairs(pairs: Sequence[dict], config: APRConfig) -> PairBatch:
+    """Pad a list of pair dicts into one device batch."""
+    cols = [[] for _ in range(9)]
+    for d in pairs:
+        p0, m0 = pad_points(d["points0"], config.point_capacity)
+        p1, m1 = pad_points(d["points1"], config.point_capacity)
+        a0, am0 = pad_points(d["apc0"], config.apc_capacity)
+        a1, am1 = pad_points(d["apc1"], config.apc_capacity)
+        for col, v in zip(cols, (p0, m0, p1, m1, a0, am0, a1, am1,
+                                 d["t_gt"].astype(np.float32))):
+            col.append(v)
+    arrs = [jnp.asarray(np.stack(c)) for c in cols]
+    return make_pair_batch(
+        *arrs,
+        voxel_size=config.voxel_size,
+        capacities=config.capacities,
+        conv1_kernel_size=config.conv1_kernel_size,
+        corr_cap=config.corr_capacity_per_point,
+        search_multiplier=config.positive_pair_search_voxel_size_multiplier,
+    )
+
+
+class PairLoader:
+    """Iterates device-ready PairBatches with background prefetch."""
+
+    def __init__(
+        self,
+        dataset: PairDataset,
+        config: APRConfig,
+        batch_size: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.config = config
+        self.batch_size = batch_size or config.batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _index_order(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __iter__(self) -> Iterator[PairBatch]:
+        order = self._index_order()
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    pairs = [self.dataset.get_pair(int(i)) for i in idxs]
+                    q.put(("ok", pairs))
+                q.put(("done", None))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(("err", e))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    return
+                if kind == "err":
+                    raise payload
+                yield collate_pairs(payload, self.config)
+        finally:
+            stop.set()

@@ -1,0 +1,135 @@
+"""Synthetic LiDAR-like scenes for tests and benchmarks.
+
+The reference has no test fixtures at all (SURVEY.md §4) — real KITTI only.
+These generators produce structured scenes (ground plane + walls + scattered
+boxes, ring-style sampling) whose geometry is rich enough for registration
+and reconstruction to be meaningful, with known ground-truth poses and a
+denser "aggregated" cloud playing the APC role.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _scene_surface_points(rng: np.random.Generator, n: int, extent: float):
+    """Sample points from a synthetic urban-ish scene (planes + boxes)."""
+    out = []
+    # ground plane with gentle undulation
+    n_ground = n // 3
+    xy = rng.uniform(-extent, extent, (n_ground, 2))
+    z = 0.1 * np.sin(xy[:, 0] * 0.15) + 0.05 * np.cos(xy[:, 1] * 0.2)
+    out.append(np.column_stack([xy, z]))
+    # a few walls
+    n_wall = n // 3
+    walls = []
+    n_w = 6
+    for _ in range(n_w):
+        cx, cy = rng.uniform(-extent, extent, 2)
+        ang = rng.uniform(0, np.pi)
+        length = rng.uniform(5, 25)
+        height = rng.uniform(2, 6)
+        t = rng.uniform(-0.5, 0.5, (n_wall // n_w, 1)) * length
+        h = rng.uniform(0, 1, (n_wall // n_w, 1)) * height
+        d = np.array([np.cos(ang), np.sin(ang)])
+        pts = np.column_stack(
+            [cx + t[:, 0] * d[0], cy + t[:, 0] * d[1], h[:, 0]]
+        )
+        walls.append(pts)
+    out.append(np.concatenate(walls))
+    # scattered boxes (cars / poles)
+    n_box = n - n_ground - len(out[1])
+    boxes = []
+    n_b = 20
+    for _ in range(n_b):
+        c = np.array([*rng.uniform(-extent, extent, 2), rng.uniform(0.2, 1.0)])
+        size = rng.uniform(0.5, 3.0, 3)
+        pts = c + rng.uniform(-0.5, 0.5, (max(n_box // n_b, 1), 3)) * size
+        boxes.append(pts)
+    out.append(np.concatenate(boxes))
+    pts = np.concatenate(out)[:n]
+    return pts.astype(np.float32)
+
+
+def synthetic_lidar_frame(
+    seed: int = 0,
+    n_points: int = 30000,
+    extent: float = 60.0,
+    sensor_xyz: Tuple[float, float, float] = (0.0, 0.0, 1.8),
+    max_range: float = 80.0,
+) -> np.ndarray:
+    """One 'scan': scene surface points visible within range, sensor-centered."""
+    rng = np.random.default_rng(seed)
+    pts = _scene_surface_points(rng, int(n_points * 4), extent)
+    rel = pts - np.asarray(sensor_xyz, np.float32)
+    r = np.linalg.norm(rel, axis=1)
+    keep = r < max_range
+    pts = rel[keep]
+    # range-dependent thinning imitating ring density falloff
+    p_keep = np.clip(12.0 / np.maximum(np.linalg.norm(pts[:, :2], axis=1), 2.0), 0.05, 1.0)
+    keep2 = rng.uniform(size=len(pts)) < p_keep
+    pts = pts[keep2]
+    # measurement noise
+    pts = pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
+    if len(pts) > n_points:
+        pts = pts[rng.choice(len(pts), n_points, replace=False)]
+    return pts.astype(np.float32)
+
+
+def synthetic_pair(
+    seed: int = 0,
+    n_points: int = 30000,
+    distance: float = 15.0,
+    apc_points: int = 60000,
+    extent: float = 60.0,
+):
+    """A distant pair + APC targets with exact ground truth.
+
+    Returns dict with: points0, points1 (each in its own sensor frame),
+    t_gt (4x4 mapping frame0 coords -> frame1 coords), apc0, apc1 (dense
+    aggregated clouds in each frame's coordinates — the reconstruction
+    targets of the APG recipe).
+    """
+    rng = np.random.default_rng(seed)
+    # shared world scene
+    scene_seed = int(rng.integers(1 << 31))
+    yaw = rng.uniform(-0.3, 0.3)
+    pos0 = np.array([0.0, 0.0, 1.8], np.float32)
+    d_ang = rng.uniform(0, 2 * np.pi)
+    pos1 = pos0 + np.array(
+        [distance * np.cos(d_ang), distance * np.sin(d_ang), rng.uniform(-0.2, 0.2)],
+        np.float32,
+    )
+
+    def world_frame(seed_, n, sensor, yaw_):
+        pts = synthetic_lidar_frame(seed_, n, extent, tuple(sensor))
+        c, s = np.cos(yaw_), np.sin(yaw_)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        return pts @ rot.T  # sensor frame with own heading
+
+    p0 = world_frame(scene_seed, n_points, pos0, 0.0)
+    p1 = world_frame(scene_seed + 1, n_points, pos1, yaw)
+
+    # t_gt: frame0 -> frame1 : x1 = R1^T (x0_world - pos1) where x0_world =
+    # R0 x0 + pos0 ; R0 = I here, R1 = yaw rotation
+    c, s = np.cos(yaw), np.sin(yaw)
+    r1 = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r1.T
+    t_gt[:3, 3] = r1.T @ (pos0 - pos1)
+
+    apc0 = world_frame(scene_seed + 2, apc_points, pos0, 0.0)
+    apc1 = world_frame(scene_seed + 3, apc_points, pos1, yaw)
+    return dict(points0=p0, points1=p1, t_gt=t_gt, apc0=apc0, apc1=apc1)
+
+
+def pad_points(points: np.ndarray, capacity: int):
+    """Pad/truncate [N, 3] to [capacity, 3] + mask."""
+    n = min(len(points), capacity)
+    out = np.zeros((capacity, 3), np.float32)
+    mask = np.zeros((capacity,), bool)
+    out[:n] = points[:n]
+    mask[:n] = True
+    return out, mask

@@ -1,0 +1,160 @@
+"""Registration eval harness — the APR/FCGF tester rebuilt on-device.
+
+Reference protocol (FCGF_APR/scripts/test_apr.py:69-218, test_fcgf.py):
+per test pair (batch 1): encoder forward on both clouds; subsample 5000
+points; feature-space NN correspondences; Open3D feature-matching RANSAC
+(4M iters / 10k confidence, thresh = voxel_size); RTE/RRE vs ground truth;
+success = RTE < 2 m AND RRE < 5 deg; running averages + per-pair logs.
+
+Here the whole per-pair pipeline — voxelize -> pyramid -> encode ->
+subsample -> match -> RANSAC -> errors — is one jit program, so eval
+throughput is a single device-bound number (the reference splits work
+between GPU features and multi-second CPU RANSAC).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apr_tpu.config import APRConfig
+from apr_tpu.data.synthetic import pad_points
+from apr_tpu.registration.matching import feature_nn_correspondences
+from apr_tpu.registration.metrics import registration_errors
+from apr_tpu.registration.ransac import ransac_pose
+from apr_tpu.training.batching import make_pair_batch
+from apr_tpu.utils.timer import AverageMeter, Timer
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class TestStats:
+    rte: List[float] = field(default_factory=list)
+    rre: List[float] = field(default_factory=list)
+    success: List[bool] = field(default_factory=list)
+    fitness: List[float] = field(default_factory=list)
+    sec_per_pair: List[float] = field(default_factory=list)
+
+    def summary(self) -> Dict[str, float]:
+        rte = np.asarray(self.rte)
+        rre = np.asarray(self.rre)
+        succ = np.asarray(self.success, dtype=bool)
+        out = dict(
+            recall=float(succ.mean()) if len(succ) else 0.0,
+            n_pairs=len(succ),
+            pairs_per_sec=(
+                1.0 / float(np.mean(self.sec_per_pair))
+                if self.sec_per_pair else 0.0
+            ),
+        )
+        if succ.any():
+            out.update(
+                rte_mean=float(rte[succ].mean()),
+                rte_std=float(rte[succ].std()),
+                rre_mean=float(rre[succ].mean()),
+                rre_std=float(rre[succ].std()),
+            )
+        return out
+
+
+class FeatureTester:
+    """Evaluate a trained encoder on an iterable of pair dicts.
+
+    Each pair dict: points0, points1 (np [N,3]), t_gt (np [4,4]).
+    """
+
+    def __init__(self, config: APRConfig, trainer, state):
+        self.config = config
+        self.trainer = trainer
+        self.state = state
+        self._step = self._build_step()
+
+    def _build_step(self):
+        c = self.config
+        thresh = c.test_ransac_dist_thresh or c.voxel_size
+
+        @jax.jit
+        def step(params, batch_stats, batch, key):
+            f0, _ = self.trainer._encode(params, batch_stats, batch.feats0,
+                                         batch.pyramid0, False)
+            f1, _ = self.trainer._encode(params, batch_stats, batch.feats1,
+                                         batch.pyramid1, False)
+            f0, f1 = f0[0], f1[0]
+            xyz0, xyz1 = batch.xyz0[0], batch.xyz1[0]
+            m0 = batch.pyramid0.levels[0].mask[0]
+            m1 = batch.pyramid1.levels[0].mask[0]
+
+            # random 5000-point subsample of valid voxels (test_apr.py:142)
+            k_sub, k_ransac = jax.random.split(key)
+            scores = jnp.where(m0, jax.random.uniform(k_sub, m0.shape), -1.0)
+            _, sel = jax.lax.top_k(scores, min(c.test_subsample, m0.shape[0]))
+            sub_mask = jnp.zeros_like(m0).at[sel].set(True) & m0
+
+            corr = feature_nn_correspondences(f0, f1, sub_mask, m1)
+            tgt_pts = xyz1[jnp.clip(corr.tgt_idx, 0, xyz1.shape[0] - 1)]
+            res = ransac_pose(
+                k_ransac, xyz0, tgt_pts, corr.mask,
+                distance_threshold=thresh,
+                ransac_n=4,
+                num_hypotheses=c.test_num_ransac_hypotheses,
+            )
+            rte, rre = registration_errors(res.transform, batch.t_gt[0])
+            return res.transform, rte, rre, res.fitness
+
+        return step
+
+    def _pair_to_batch(self, pair):
+        c = self.config
+        p0, m0 = pad_points(pair["points0"], c.point_capacity)
+        p1, m1 = pad_points(pair["points1"], c.point_capacity)
+        zeros = np.zeros((1, 1, 3), np.float32)
+        zmask = np.zeros((1, 1), bool)
+        return make_pair_batch(
+            jnp.asarray(p0)[None], jnp.asarray(m0)[None],
+            jnp.asarray(p1)[None], jnp.asarray(m1)[None],
+            jnp.asarray(zeros), jnp.asarray(zmask),
+            jnp.asarray(zeros), jnp.asarray(zmask),
+            jnp.asarray(pair["t_gt"])[None],
+            voxel_size=c.voxel_size,
+            capacities=c.capacities,
+            conv1_kernel_size=c.conv1_kernel_size,
+            corr_cap=c.corr_capacity_per_point,
+            search_multiplier=c.positive_pair_search_voxel_size_multiplier,
+        )
+
+    def test(self, pairs: Iterable[dict], seed: int = 0,
+             log_freq: int = 10) -> TestStats:
+        c = self.config
+        stats = TestStats()
+        key = jax.random.PRNGKey(seed)
+        timer = Timer()
+        for i, pair in enumerate(pairs):
+            key, k = jax.random.split(key)
+            timer.tic()
+            batch = self._pair_to_batch(pair)
+            t_est, rte, rre, fitness = self._step(
+                self.state.params, self.state.batch_stats, batch, k
+            )
+            rte = float(rte)
+            rre = float(rre) if np.isfinite(float(rre)) else 180.0
+            dt = timer.toc(average=False)
+            stats.rte.append(rte)
+            stats.rre.append(rre)
+            stats.success.append(rte < c.rte_thresh and rre < c.rre_thresh)
+            stats.fitness.append(float(fitness))
+            if i > 0:  # first pair pays compilation; keep timing honest
+                stats.sec_per_pair.append(dt)
+            if (i + 1) % log_freq == 0:
+                s = stats.summary()
+                log.info(
+                    "pair %d: recall=%.3f rte=%.3f rre=%.3f %.2f pairs/s",
+                    i + 1, s["recall"], rte, rre, s.get("pairs_per_sec", 0.0),
+                )
+        return stats

@@ -89,11 +89,6 @@ def kernel_map_down(
     """[C_coarse, k^3] table of fine-level inputs for a stride-2 conv."""
     offs = jnp.asarray(offsets_grid(kernel_size))
     base = coarse.coords * 2
-
-    def one(off):
-        return _query_offset(fine, base + off[None, :], coarse.mask, jnp.zeros(3, jnp.int32))
-
-    # base + off done inside pack: reuse _query_offset by shifting base
     maps = jax.vmap(
         lambda off: _query_offset(fine, base, coarse.mask, off)
     )(offs)

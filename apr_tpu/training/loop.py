@@ -1,0 +1,165 @@
+"""Top-level training loop: epochs, validation, checkpoints, logging.
+
+Reference counterpart: AlignmentTrainer.train (FCGF_APR/lib/trainer.py:
+140-169) + GenerativePairTrainer epoch loop (complement_trainer.py:350-512):
+per epoch — train over the loader, step the LR schedule, save
+``checkpoint``, run validation at val_epoch_freq, track best_val_metric and
+save ``best_val_checkpoint``.  Scalars go to a JSONL metrics log (and
+tensorboardX if importable, matching the reference's SummaryWriter).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from apr_tpu.config import APRConfig
+from apr_tpu.data.datasets import make_dataset
+from apr_tpu.data.pipeline import PairLoader
+from apr_tpu.parallel import make_mesh, replicate, shard_batch
+from apr_tpu.training.checkpoints import CheckpointManager
+from apr_tpu.training.trainer import get_trainer
+from apr_tpu.utils.timer import AverageMeter, Timer
+
+log = logging.getLogger(__name__)
+
+_BIGGER_IS_BETTER = {"feat_match_ratio", "hit_ratio", "success"}
+
+
+class MetricsLogger:
+    """JSONL scalar log + optional tensorboardX."""
+
+    def __init__(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self.f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+        self.tb = None
+        try:
+            from tensorboardX import SummaryWriter  # type: ignore
+
+            self.tb = SummaryWriter(logdir=os.path.join(out_dir, "tb"))
+        except Exception:
+            pass
+
+    def write(self, phase: str, step: int, scalars: Dict[str, float]):
+        rec = {"phase": phase, "step": step, **scalars, "t": time.time()}
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(f"{phase}/{k}", v, step)
+
+
+def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
+    """Train per config; returns summary dict (final + best metrics)."""
+    os.makedirs(config.out_dir, exist_ok=True)
+    config.save_json(os.path.join(config.out_dir, "config.json"))
+
+    trainer = get_trainer(config)
+    mesh = make_mesh(
+        jax.devices()[: config.num_devices] if config.num_devices else None
+    )
+    train_ds = make_dataset(config, "train")
+    val_ds = make_dataset(config, "val")
+    train_loader = PairLoader(train_ds, config, shuffle=True, seed=config.seed)
+    val_loader = PairLoader(
+        val_ds, config, batch_size=config.val_batch_size, shuffle=False,
+        drop_last=False,
+    )
+
+    key = jax.random.PRNGKey(config.seed)
+    sample = next(iter(train_loader))
+    state = trainer.init_state(key, sample)
+    state = replicate(state, mesh)
+
+    mngr = CheckpointManager(config.out_dir)
+    metrics_log = MetricsLogger(config.out_dir)
+
+    start_epoch = 0
+    best_val = None
+    if config.resume is not None and os.path.isdir(config.resume):
+        rm = CheckpointManager(config.resume)
+        if rm.latest_epoch() is not None:
+            state, meta = rm.restore(state)
+            start_epoch = int(meta["epoch"])
+            best_val = meta.get("best_val")
+            log.info("resumed from %s at epoch %d", config.resume, start_epoch)
+    elif config.weights is not None:
+        wm = CheckpointManager(config.weights)
+        state, _ = wm.restore_weights_only(state)
+        log.info("finetune_restart from %s", config.weights)
+
+    epochs = max_epochs or config.max_epoch
+    step = int(state.step)
+    bigger = config.best_val_metric in _BIGGER_IS_BETTER
+    summary: Dict = {}
+
+    for epoch in range(start_epoch, epochs):
+        state = trainer.set_lr(state, epoch)
+        train_loader.set_epoch(epoch)
+        meters: Dict[str, AverageMeter] = {}
+        data_timer, step_timer = Timer(), Timer()
+        t_iter = iter(train_loader)
+        while True:
+            data_timer.tic()
+            try:
+                batch = next(t_iter)
+            except StopIteration:
+                break
+            batch = shard_batch(batch, mesh)
+            data_timer.toc()
+            key, k = jax.random.split(key)
+            step_timer.tic()
+            state, m = trainer.train_step(state, batch, k)
+            jax.block_until_ready(m["loss"])
+            step_timer.toc()
+            step += 1
+            for name, v in m.items():
+                meters.setdefault(name, AverageMeter()).update(float(v))
+            if step % config.stat_freq == 0:
+                scalars = {k_: mt.avg for k_, mt in meters.items()}
+                scalars.update(lr=float(state.lr),
+                               data_time=data_timer.avg,
+                               step_time=step_timer.avg)
+                metrics_log.write("train", step, scalars)
+                log.info(
+                    "epoch %d step %d loss %.4f (data %.3fs step %.3fs)",
+                    epoch, step, meters["loss"].avg, data_timer.avg,
+                    step_timer.avg,
+                )
+
+        epoch_scalars = {k_: mt.avg for k_, mt in meters.items()}
+        metrics_log.write("train_epoch", epoch, epoch_scalars)
+
+        if (epoch + 1) % config.val_epoch_freq == 0:
+            vmeters: Dict[str, AverageMeter] = {}
+            for batch in val_loader:
+                key, k = jax.random.split(key)
+                vm = trainer.valid_step(state, batch, k)
+                for name, v in vm.items():
+                    vmeters.setdefault(name, AverageMeter()).update(float(v))
+            vscalars = {k_: mt.avg for k_, mt in vmeters.items()}
+            metrics_log.write("val", epoch, vscalars)
+            log.info("val epoch %d: %s", epoch,
+                     {k_: round(v, 4) for k_, v in vscalars.items()})
+            cur = vscalars.get(config.best_val_metric)
+            if cur is not None and (
+                best_val is None or (cur > best_val if bigger else cur < best_val)
+            ):
+                best_val = cur
+                mngr.save(epoch + 1, state,
+                          extra={"best_val": best_val, "best": True})
+                summary["best_val"] = best_val
+                summary["best_epoch"] = epoch
+            summary["last_val"] = vscalars
+
+        mngr.save(epoch + 1, state, extra={"best_val": best_val})
+        summary["last_train"] = epoch_scalars
+
+    summary["steps"] = step
+    return summary

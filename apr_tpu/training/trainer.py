@@ -1,0 +1,358 @@
+"""FCGF-path trainers: contrastive / triplet / generative-pair (APR).
+
+Capability parity with FCGF_APR/lib/trainer.py (AlignmentTrainer +
+Contrastive/HardestContrastive/Triplet/HardestTriplet trainers) and
+FCGF_APR/lib/complement_trainer.py (TwoStageTrainer/GenerativePairTrainer),
+re-architected TPU-first:
+
+- the whole optimization step (two encoder forwards, mining, generative
+  branch, backward, SGD update) is ONE jit program; no host round-trips;
+- batch data parallelism: the batch dim shards across a 1-D device mesh,
+  parameters replicate, gradient all-reduce rides ICI (the reference is
+  single-GPU, SURVEY.md §2.4);
+- hardest-negative candidate subsets are drawn from the *whole batch's*
+  concatenated clouds, matching the reference's batched sparse tensor
+  (trainer.py:412-415);
+- the NPR generative branch sums (chamfer + reg) * loss_ratio over every
+  cloud of the batch, exactly like complement_trainer.py:422-483;
+- gradient accumulation (iter_size) becomes optax.MultiSteps;
+- the NaN-guard of the reference (validate_gradient, lib/utils.py:100)
+  becomes a jnp.isfinite gate on the loss that zeroes the update.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from apr_tpu.config import APRConfig
+from apr_tpu.geometry.robust import est_rigid_robust
+from apr_tpu.losses.contrastive import (
+    contrastive_loss_random_negatives,
+    hardest_contrastive_loss,
+    triplet_loss,
+)
+from apr_tpu.losses.generative import npr_reconstruction
+from apr_tpu.models import make_generative_mlp, make_resunet
+from apr_tpu.registration.matching import feature_nn_correspondences
+from apr_tpu.registration.metrics import hit_ratio, registration_errors
+from apr_tpu.training.batching import PairBatch
+
+log = logging.getLogger(__name__)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    lr: jnp.ndarray
+
+
+def _flatten_pairs(pos_src, pos_tgt, pos_mask, n):
+    """Offset per-pair voxel indices into the concatenated [B*N] feature rows."""
+    b = pos_src.shape[0]
+    offs = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    return (
+        (pos_src + offs).reshape(-1),
+        (pos_tgt + offs).reshape(-1),
+        pos_mask.reshape(-1),
+    )
+
+
+class FCGFTrainer:
+    """One trainer class, loss selected by name (reference get_trainer)."""
+
+    LOSS_MODES = (
+        "ContrastiveLossTrainer",
+        "HardestContrastiveLossTrainer",
+        "TripletLossTrainer",
+        "HardestTripletLossTrainer",
+        "GenerativePairTrainer",
+    )
+
+    def __init__(self, config: APRConfig):
+        assert config.trainer in self.LOSS_MODES, config.trainer
+        self.config = config
+        self.encoder = make_resunet(
+            config.model,
+            in_channels=1,
+            out_channels=config.model_n_out,
+            normalize_feature=config.normalize_feature,
+            conv1_kernel_size=config.conv1_kernel_size,
+            bn_momentum=config.bn_momentum,
+        )
+        self.generative = config.trainer == "GenerativePairTrainer"
+        if self.generative:
+            self.generator = make_generative_mlp(
+                config.generator_model,
+                out_points=config.point_generation_ratio,
+                bn_momentum=config.bn_momentum,
+            )
+        else:
+            self.generator = None
+        self.tx = self._make_optimizer()
+
+    # --- optimizer / schedule -------------------------------------------
+
+    def _make_optimizer(self):
+        c = self.config
+        if c.optimizer != "SGD":
+            raise NotImplementedError(c.optimizer)
+
+        def sgd(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(c.weight_decay),
+                optax.sgd(learning_rate, momentum=c.sgd_momentum),
+            )
+
+        tx = optax.inject_hyperparams(sgd)(learning_rate=c.lr)
+        if c.iter_size > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=c.iter_size)
+        return tx
+
+    def epoch_lr(self, epoch: int) -> float:
+        """ExponentialLR parity: lr * gamma^epoch (stepped per epoch)."""
+        return self.config.lr * (self.config.exp_gamma ** epoch)
+
+    def set_lr(self, state: TrainState, epoch: int) -> TrainState:
+        lr = jnp.asarray(self.epoch_lr(epoch), jnp.float32)
+
+        def set_in(opt_state):
+            if isinstance(opt_state, optax.MultiStepsState):
+                return opt_state._replace(
+                    inner_opt_state=set_in(opt_state.inner_opt_state)
+                )
+            hp = dict(opt_state.hyperparams)
+            hp["learning_rate"] = lr
+            return opt_state._replace(hyperparams=hp)
+
+        return state._replace(opt_state=set_in(state.opt_state), lr=lr)
+
+    # --- init -----------------------------------------------------------
+
+    def init_state(self, key: jax.Array, sample_batch: PairBatch) -> TrainState:
+        k_enc, k_gen = jax.random.split(key)
+        enc_vars = self.encoder.init(
+            k_enc, sample_batch.feats0, sample_batch.pyramid0, train=False
+        )
+        params = {"encoder": enc_vars["params"]}
+        batch_stats = {"encoder": enc_vars.get("batch_stats", {})}
+        if self.generative:
+            f_dummy = jnp.zeros(
+                (1, 8, self.config.model_n_out), jnp.float32
+            )
+            gen_vars = self.generator.init(
+                k_gen, f_dummy, jnp.ones((1, 8), bool), train=False
+            )
+            params["generator"] = gen_vars["params"]
+            batch_stats["generator"] = gen_vars.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            lr=jnp.asarray(self.config.lr, jnp.float32),
+        )
+
+    # --- forward helpers ------------------------------------------------
+
+    def _encode(self, params, batch_stats, feats, pyramid, train):
+        variables = {"params": params["encoder"],
+                     "batch_stats": batch_stats["encoder"]}
+        if train:
+            out, upd = self.encoder.apply(
+                variables, feats, pyramid, train=True, mutable=["batch_stats"]
+            )
+            return out, upd["batch_stats"]
+        return self.encoder.apply(variables, feats, pyramid, train=False), \
+            batch_stats["encoder"]
+
+    def _contrastive(self, key, f0_flat, f1_flat, src, tgt, pmask, m0, m1):
+        c = self.config
+        num_pos = c.num_pos_per_batch * c.batch_size
+        num_hn = c.num_hn_samples_per_batch * c.batch_size
+        name = c.trainer
+        if name in ("HardestContrastiveLossTrainer", "GenerativePairTrainer"):
+            return hardest_contrastive_loss(
+                key, f0_flat, f1_flat, src, tgt, pmask, m0, m1,
+                num_pos=num_pos, num_hn_samples=num_hn,
+                pos_thresh=c.pos_thresh, neg_thresh=c.neg_thresh,
+            )
+        if name == "ContrastiveLossTrainer":
+            return contrastive_loss_random_negatives(
+                key, f0_flat, f1_flat, src, tgt, pmask, m1,
+                num_pos=num_pos, num_neg=num_pos,
+                pos_thresh=c.pos_thresh, neg_thresh=c.neg_thresh,
+            )
+        hardest = name == "HardestTripletLossTrainer"
+        l = triplet_loss(
+            key, f0_flat, f1_flat, src, tgt, pmask, m1,
+            num_pos=num_pos, num_hn_samples=num_hn, hardest=hardest,
+        )
+        return l, jnp.zeros(())
+
+    def _generative_branch(self, params, gen_stats, feats, pyramid, apc,
+                           apc_mask, train):
+        """Sum over batch clouds of (chamfer + reg*strength) * loss_ratio.
+
+        ``gen_stats`` is the generator's batch_stats subtree; returns the
+        updated subtree.
+        """
+        c = self.config
+        mask = pyramid.levels[0].mask  # [B, C0]
+        variables = {"params": params["generator"], "batch_stats": gen_stats}
+        if train:
+            mlp_out, upd = self.generator.apply(
+                variables, feats, mask, train=True, mutable=["batch_stats"]
+            )
+            new_stats = upd["batch_stats"]
+        else:
+            mlp_out = self.generator.apply(variables, feats, mask, train=False)
+            new_stats = gen_stats
+
+        anchors = pyramid.levels[0].coords.astype(jnp.float32) * c.voxel_size
+
+        def one(mo, anc, m, apc_b, apc_m):
+            total, cd, reg = npr_reconstruction(
+                mo, anc, apc_b, m, apc_m,
+                voxel_size=c.voxel_size,
+                reg_type=c.regularization_type,
+                reg_strength=c.regularization_strength,
+                alpha=c.alpha,
+            )
+            return total, cd, reg
+
+        totals, cds, regs = jax.vmap(one)(mlp_out, anchors, mask, apc, apc_mask)
+        return jnp.sum(totals) * c.loss_ratio, jnp.sum(cds), jnp.sum(regs), new_stats
+
+    # --- the train step -------------------------------------------------
+
+    def loss_fn(self, params, batch_stats, batch: PairBatch, key: jax.Array,
+                train: bool = True):
+        c = self.config
+        k_mine, _ = jax.random.split(key)
+        f0, stats1 = self._encode(params, batch_stats, batch.feats0,
+                                  batch.pyramid0, train)
+        bs_mid = dict(batch_stats, encoder=stats1)
+        f1, stats2 = self._encode(params, bs_mid, batch.feats1,
+                                  batch.pyramid1, train)
+        new_stats = dict(batch_stats, encoder=stats2)
+
+        b, n, ch = f0.shape
+        f0_flat = f0.reshape(b * n, ch)
+        f1_flat = f1.reshape(b * n, ch)
+        m0 = batch.pyramid0.levels[0].mask.reshape(-1)
+        m1 = batch.pyramid1.levels[0].mask.reshape(-1)
+        src, tgt, pmask = _flatten_pairs(batch.pos_src, batch.pos_tgt,
+                                         batch.pos_mask, n)
+        pos_loss, neg_loss = self._contrastive(
+            k_mine, f0_flat, f1_flat, src, tgt, pmask, m0, m1
+        )
+        loss = pos_loss + c.neg_weight * neg_loss
+        metrics = {"pos_loss": pos_loss, "neg_loss": neg_loss}
+
+        if self.generative:
+            gen0, cd0, reg0, gen_stats = self._generative_branch(
+                params, new_stats["generator"], f0, batch.pyramid0,
+                batch.apc0, batch.apc0_mask, train)
+            gen1, cd1, reg1, gen_stats = self._generative_branch(
+                params, gen_stats, f1, batch.pyramid1,
+                batch.apc1, batch.apc1_mask, train)
+            new_stats = dict(new_stats, generator=gen_stats)
+            loss = loss + gen0 + gen1
+            metrics.update(
+                chamfer_loss=cd0 + cd1, regularization_loss=reg0 + reg1
+            )
+        metrics["loss"] = loss
+        return loss, (new_stats, metrics)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, state: TrainState, batch: PairBatch, key: jax.Array):
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key, True)
+
+        # NaN gate (validate_gradient parity): skip the update entirely
+        finite = jnp.isfinite(loss)
+        leaves = jax.tree_util.tree_leaves(grads)
+        finite = jnp.logical_and(
+            finite,
+            jnp.all(jnp.stack([jnp.all(jnp.isfinite(g)) for g in leaves])),
+        )
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_stats = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_stats, state.batch_stats,
+        )
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        return (
+            state._replace(
+                params=params,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    # --- validation -----------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def valid_step(self, state: TrainState, batch: PairBatch, key: jax.Array):
+        """Reference _valid_epoch parity: loss + matching/registration metrics
+        (complement_trainer.py:514-681): feature NN -> robust IRLS pose ->
+        RTE/RRE + hit ratio + feature-match ratio."""
+        c = self.config
+        loss, (_, metrics) = self.loss_fn(
+            state.params, state.batch_stats, batch, key, False
+        )
+
+        f0, _ = self._encode(state.params, state.batch_stats, batch.feats0,
+                             batch.pyramid0, False)
+        f1, _ = self._encode(state.params, state.batch_stats, batch.feats1,
+                             batch.pyramid1, False)
+
+        def one(f0b, f1b, xyz0, xyz1, m0, m1, t_gt):
+            corr = feature_nn_correspondences(f0b, f1b, m0, m1)
+            tgt_pts = xyz1[jnp.clip(corr.tgt_idx, 0, xyz1.shape[0] - 1)]
+            hr = hit_ratio(xyz0, tgt_pts, t_gt, c.hit_ratio_thresh, corr.mask)
+            w = corr.mask.astype(jnp.float32)
+            t_est = est_rigid_robust(xyz0, tgt_pts, w)
+            rte, rre = registration_errors(t_est, t_gt)
+            return hr, rte, rre
+
+        hrs, rtes, rres = jax.vmap(one)(
+            f0, f1, batch.xyz0, batch.xyz1,
+            batch.pyramid0.levels[0].mask, batch.pyramid1.levels[0].mask,
+            batch.t_gt,
+        )
+        metrics.update(
+            hit_ratio=jnp.mean(hrs),
+            feat_match_ratio=jnp.mean((hrs > 0.05).astype(jnp.float32)),
+            rte=jnp.mean(rtes),
+            rre=jnp.mean(
+                jnp.where(jnp.isfinite(rres), rres, 0.0)
+            ),
+            success=jnp.mean(
+                ((rtes < c.rte_thresh) & (rres < c.rre_thresh)).astype(
+                    jnp.float32
+                )
+            ),
+        )
+        return metrics
+
+
+def get_trainer(config: APRConfig) -> FCGFTrainer:
+    """Reference train.py get_trainer parity: dispatch by config.trainer."""
+    return FCGFTrainer(config)

@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apr_tpu.ops import voxelize
+from apr_tpu.models.sparse import (
+    build_pyramid,
+    downsample_level,
+    kernel_map_down,
+    kernel_map_same,
+    kernel_map_up,
+    offsets_grid,
+    sparse_conv_apply,
+    SparseLevel,
+)
+
+
+def _grid(rng, n=500, span=8.0, voxel=0.5, cap=1024):
+    pts = rng.uniform(-span, span, size=(n, 3)).astype(np.float32)
+    return voxelize(jnp.asarray(pts), voxel, capacity=cap), pts
+
+
+def _coord_set(level):
+    m = np.asarray(level.mask)
+    return {tuple(c) for c in np.asarray(level.coords)[m]}
+
+
+def test_downsample_level_matches_numpy(rng):
+    grid, pts = _grid(rng)
+    lv0 = SparseLevel(grid.coords, grid.keys, grid.mask)
+    lv1 = downsample_level(lv0, 512)
+    ref = {tuple(np.asarray(c) >> 1) for c in _coord_set(lv0)}
+    assert _coord_set(lv1) == ref
+
+
+def test_kernel_map_same_is_correct(rng):
+    grid, _ = _grid(rng)
+    lv = SparseLevel(grid.coords, grid.keys, grid.mask)
+    table = np.asarray(kernel_map_same(lv, 3))
+    coords = np.asarray(lv.coords)
+    mask = np.asarray(lv.mask)
+    cap = coords.shape[0]
+    index = {tuple(c): i for i, c in enumerate(coords[mask])}
+    offs = offsets_grid(3)
+    for i in np.flatnonzero(mask)[:50]:
+        for k, off in enumerate(offs):
+            want = index.get(tuple(coords[i] + off), cap)
+            assert table[i, k] == want
+    # padded rows are all sentinel
+    assert (table[~mask] == cap).all()
+
+
+def test_kernel_map_down_up_are_adjoint(rng):
+    grid, _ = _grid(rng)
+    lv0 = SparseLevel(grid.coords, grid.keys, grid.mask)
+    lv1 = downsample_level(lv0, 512)
+    down = np.asarray(kernel_map_down(lv1, lv0, 3))  # [C1, 27] into lv0
+    up = np.asarray(kernel_map_up(lv0, lv1, 3))      # [C0, 27] into lv1
+    c0, c1 = grid.capacity, 512
+    # pair sets must transpose exactly (same offset slot k)
+    pairs_down = {
+        (f, c, k)
+        for c in range(c1)
+        for k, f in enumerate(down[c])
+        if f < c0 and np.asarray(lv1.mask)[c]
+    }
+    offs = offsets_grid(3)
+    # down uses coord 2q + o; up uses (f - o)/2 -> same o slot
+    pairs_up = {
+        (f, c, k)
+        for f in range(c0)
+        for k, c in enumerate(up[f])
+        if c < c1 and np.asarray(lv0.mask)[f]
+    }
+    assert pairs_down == pairs_up
+
+
+def test_sparse_conv_identity_kernel(rng):
+    grid, _ = _grid(rng)
+    lv = SparseLevel(grid.coords, grid.keys, grid.mask)
+    table = kernel_map_same(lv, 3)
+    cap = grid.capacity
+    feats = jnp.asarray(rng.normal(size=(cap, 8)).astype(np.float32))
+    feats = jnp.where(lv.mask[:, None], feats, 0.0)
+    # kernel = identity at the center offset only
+    w = np.zeros((27, 8, 8), np.float32)
+    w[13] = np.eye(8)  # center of 3x3x3 in ij-ordering is index 13
+    out = sparse_conv_apply(feats, table, jnp.asarray(w), lv.mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=1e-5)
+
+
+def test_sparse_conv_neighbor_sum(rng):
+    """Sum-over-neighbors kernel must equal the dense neighbor sum."""
+    grid, _ = _grid(rng, n=200, span=3.0, voxel=1.0, cap=256)
+    lv = SparseLevel(grid.coords, grid.keys, grid.mask)
+    table = kernel_map_same(lv, 3)
+    cap = grid.capacity
+    feats = jnp.asarray(rng.normal(size=(cap, 4)).astype(np.float32))
+    feats = jnp.where(lv.mask[:, None], feats, 0.0)
+    w = np.tile(np.eye(4, dtype=np.float32)[None], (27, 1, 1))
+    out = np.asarray(sparse_conv_apply(feats, table, jnp.asarray(w), lv.mask))
+
+    coords = np.asarray(lv.coords)
+    mask = np.asarray(lv.mask)
+    index = {tuple(c): i for i, c in enumerate(coords[mask])}
+    f = np.asarray(feats)
+    for i in np.flatnonzero(mask)[:30]:
+        want = np.zeros(4)
+        for off in offsets_grid(3):
+            j = index.get(tuple(coords[i] + off))
+            if j is not None:
+                want += f[j]
+        np.testing.assert_allclose(out[i], want, atol=1e-4)
+
+
+def test_build_pyramid_shapes(rng):
+    grid, _ = _grid(rng, n=1000, span=10.0, voxel=0.4, cap=2048)
+    pyr = build_pyramid(grid, capacities=(2048, 1024, 512, 256), conv1_kernel_size=5)
+    assert len(pyr.levels) == 4
+    assert pyr.conv1_map.shape == (2048, 125)
+    assert pyr.same_maps[2].shape == (512, 27)
+    assert pyr.down_maps[0].shape == (1024, 27)
+    assert pyr.up_maps[0].shape == (2048, 27)
+    # each level has fewer voxels than the previous
+    counts = [int(jnp.sum(lv.mask)) for lv in pyr.levels]
+    assert counts[0] > counts[1] > counts[2] >= counts[3] > 0
