@@ -53,6 +53,45 @@ class APRConfig:
     regularization_type: str = "L2"
     alpha: float = 1.0
 
+    # --- KPConv / Predator path (YAML field names preserved) ---
+    num_layers: int = 4
+    in_feats_dim: int = 1
+    first_feats_dim: int = 256
+    final_feats_dim: int = 32
+    first_subsampling_dl: float = 0.3
+    conv_radius: float = 4.25
+    deform_radius: float = 5.0
+    num_kernel_points: int = 15
+    KP_extent: float = 2.0
+    KP_influence: str = "linear"
+    aggregation_mode: str = "sum"
+    fixed_kernel_points: str = "center"
+    use_batch_norm: bool = True
+    batch_norm_momentum: float = 0.02
+    condition_feature: bool = True
+    add_cross_score: bool = True
+    gnn_feats_dim: int = 256
+    dgcnn_k: int = 10
+    num_head: int = 4
+    nets: Tuple[str, ...] = ("self", "cross", "self")
+    architecture: str = "kitti"
+    neighborhood_limits: Tuple[int, ...] = (40, 40, 40, 40)
+    kp_capacities: Tuple[int, ...] = (16384, 4096, 2048, 1024)
+
+    # --- Predator MetricLoss ---
+    pos_margin: float = 0.1
+    neg_margin: float = 1.4
+    log_scale: float = 48.0
+    pos_radius: float = 0.21
+    safe_radius: float = 0.75
+    overlap_radius: float = 0.45
+    matchability_radius: float = 0.3
+    max_points: int = 512
+    w_circle_loss: float = 1.0
+    w_overlap_loss: float = 1.0
+    w_saliency_loss: float = 0.0
+    corr_capacity: int = 8192
+
     # --- optimizer ---
     optimizer: str = "SGD"
     lr: float = 1e-1

@@ -1,0 +1,165 @@
+"""Predator-path tester: overlap*saliency-weighted sampling + RANSAC.
+
+Reference KITTITester/NUSCENESTester (Predator_APR/lib/tester.py:33-141):
+per pair — KPFCNN forward; sample 5000 points per cloud with probability
+proportional to overlap * saliency (:80-92); RANSAC (thresh 0.3 m, n=4,
+50k iters, :97); stack all pairs; registration recall = mean(RRE < 5 deg and
+RTE < 2 m); rot/trans mean/median/std on successes; results saved to npz.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apr_tpu.config import APRConfig
+from apr_tpu.data.synthetic import pad_points
+from apr_tpu.eval.tester import TestStats
+from apr_tpu.registration.matching import feature_nn_correspondences
+from apr_tpu.registration.metrics import registration_errors
+from apr_tpu.registration.ransac import ransac_pose
+from apr_tpu.training.predator import make_kp_pair_batch
+from apr_tpu.utils.timer import Timer
+
+log = logging.getLogger(__name__)
+
+
+class PredatorTester:
+    def __init__(self, config: APRConfig, trainer, state):
+        self.config = config
+        self.trainer = trainer
+        self.state = state
+        self._step = self._build_step()
+
+    def _build_step(self):
+        c = self.config
+        n_samples = c.test_subsample
+
+        @jax.jit
+        def step(params, batch, key):
+            out = self.trainer.model.apply({"params": params["model"]},
+                                           batch.pyr0, batch.pyr1)
+            m0 = batch.pyr0.levels[0].mask
+            m1 = batch.pyr1.levels[0].mask
+            xyz0 = batch.pyr0.levels[0].points
+            xyz1 = batch.pyr1.levels[0].points
+
+            k0, k1, kr = jax.random.split(key, 3)
+
+            def weighted_sample(k, scores, mask, n_pts):
+                # Gumbel top-k == sampling w/o replacement proportional to
+                # the (overlap * saliency) weights (tester.py:80-92)
+                w = jnp.where(mask, scores, 0.0)
+                logw = jnp.log(jnp.maximum(w, 1e-12))
+                g = -jnp.log(-jnp.log(
+                    jax.random.uniform(k, logw.shape, minval=1e-12, maxval=1.0)
+                ))
+                keys = jnp.where(mask, logw + g, -jnp.inf)
+                _, sel = jax.lax.top_k(keys, min(n_samples, logw.shape[0]))
+                smask = jnp.zeros_like(mask).at[sel].set(True) & mask
+                return smask
+
+            s0 = weighted_sample(k0, out.overlap0 * out.saliency0, m0,
+                                 n_samples)
+            s1 = weighted_sample(k1, out.overlap1 * out.saliency1, m1,
+                                 n_samples)
+
+            corr = feature_nn_correspondences(out.feats0, out.feats1, s0, s1)
+            tgt_pts = xyz1[jnp.clip(corr.tgt_idx, 0, xyz1.shape[0] - 1)]
+            res = ransac_pose(
+                kr, xyz0, tgt_pts, corr.mask,
+                distance_threshold=0.3, ransac_n=4,
+                num_hypotheses=c.test_num_ransac_hypotheses,
+            )
+            rte, rre = registration_errors(res.transform, batch.t_gt)
+            return res.transform, rte, rre, res.fitness
+
+        return step
+
+    def _pair_to_batch(self, pair):
+        c = self.config
+        p0, m0 = pad_points(pair["points0"], c.point_capacity)
+        p1, m1 = pad_points(pair["points1"], c.point_capacity)
+        zeros = np.zeros((1, 3), np.float32)
+        zmask = np.zeros((1,), bool)
+        return make_kp_pair_batch(
+            jnp.asarray(p0), jnp.asarray(m0), jnp.asarray(p1), jnp.asarray(m1),
+            jnp.asarray(zeros), jnp.asarray(zmask),
+            jnp.asarray(zeros), jnp.asarray(zmask),
+            jnp.asarray(pair["t_gt"]),
+            first_subsampling_dl=c.first_subsampling_dl,
+            conv_radius=c.conv_radius,
+            capacities=c.kp_capacities,
+            neighbor_limits=c.neighborhood_limits,
+            overlap_radius=c.overlap_radius,
+        )
+
+    def test(self, pairs: Iterable[dict], seed: int = 0,
+             log_freq: int = 10) -> TestStats:
+        c = self.config
+        stats = TestStats()
+        key = jax.random.PRNGKey(seed)
+        timer = Timer()
+        for i, pair in enumerate(pairs):
+            key, k = jax.random.split(key)
+            timer.tic()
+            batch = self._pair_to_batch(pair)
+            _, rte, rre, fitness = self._step(self.state.params, batch, k)
+            rte = float(rte)
+            rre = float(rre) if np.isfinite(float(rre)) else 180.0
+            dt = timer.toc(average=False)
+            stats.rte.append(rte)
+            stats.rre.append(rre)
+            stats.success.append(rte < c.rte_thresh and rre < c.rre_thresh)
+            stats.fitness.append(float(fitness))
+            if i > 0:
+                stats.sec_per_pair.append(dt)
+            if (i + 1) % log_freq == 0:
+                s = stats.summary()
+                log.info("pair %d: recall=%.3f (%.2f pairs/s)", i + 1,
+                         s["recall"], s.get("pairs_per_sec", 0.0))
+        return stats
+
+
+def calibrate_neighbors(
+    dataset, config: APRConfig, keep_ratio: float = 0.8,
+    samples_threshold: int = 2000, max_items: int = 50,
+):
+    """Reference calibrate_neighbors parity (dataloader.py:200-232): histogram
+    per-layer neighbor counts over the dataset until enough samples, keep the
+    ``keep_ratio`` percentile as each layer's cap.  Host-side, run once before
+    training; result feeds APRConfig.neighborhood_limits."""
+    from apr_tpu.ops.neighbors import radius_neighbors
+    from apr_tpu.ops.voxelize import voxelize
+
+    num_levels = len(config.kp_capacities)
+    hist_n = int(np.ceil(4 / 3 * np.pi * (config.conv_radius + 1) ** 3))
+    counts = np.zeros((num_levels, hist_n), np.int64)
+
+    for i in range(min(len(dataset), max_items)):
+        pair = dataset.get_pair(i)
+        pts_np, mask_np = pad_points(pair["points0"], config.point_capacity)
+        pts, mask = jnp.asarray(pts_np), jnp.asarray(mask_np)
+        dl = config.first_subsampling_dl
+        r = dl * config.conv_radius
+        for l in range(num_levels):
+            grid = voxelize(pts, dl, config.kp_capacities[l], mask)
+            nb = radius_neighbors(
+                grid.barycenter, grid.barycenter, r, hist_n - 1,
+                q_mask=grid.mask, s_mask=grid.mask,
+            )
+            valid = np.asarray(grid.mask)
+            nnb = np.asarray((nb < grid.barycenter.shape[0]).sum(1))[valid]
+            counts[l] += np.bincount(nnb, minlength=hist_n)
+            dl *= 2
+            r *= 2
+        if counts.sum(axis=1).min() > samples_threshold:
+            break
+
+    cum = np.cumsum(counts.T, axis=0)
+    limits = np.sum(cum < (keep_ratio * cum[hist_n - 1, :]), axis=0)
+    return tuple(int(x) for x in limits)

@@ -1,0 +1,230 @@
+"""MetricLoss (Predator path): circle loss + overlap / saliency BCE.
+
+Numeric parity with Predator_APR/lib/loss.py:16-178, masked/fixed-shape:
+
+- circle loss over the pairwise coord/feature distance matrices of <=
+  max_points sampled GT correspondences (pos_radius / safe_radius masks,
+  log-scale soft weighting, softplus(lse_pos + lse_neg)/log_scale, averaged
+  over rows and columns that have both positives and negatives);
+- feature-match recall (argmin feature distance within pos_radius);
+- weighted BCE on overlap scores vs correspondence membership, the weight
+  of each class being the other class's frequency;
+- saliency BCE only on overlap points vs mutual-NN matchability;
+- classification precision/recall computed in jnp (the reference calls
+  sklearn, loss.py:95).
+
+Dynamic subset selection (the reference's boolean indexing) becomes weight
+masks; padded correspondence rows get a coords distance midway between
+pos_radius and safe_radius so they are neither positive nor negative and
+drop out of every term exactly like absent rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from apr_tpu.geometry.se3 import apply_transform
+from apr_tpu.losses.contrastive import _sample_without_replacement
+
+
+def _sq_dist(a, b):
+    d2 = (
+        jnp.sum(a * a, 1)[:, None]
+        - 2.0 * jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)
+        + jnp.sum(b * b, 1)[None, :]
+    )
+    return jnp.maximum(d2, 0.0)
+
+
+def weighted_bce(pred, gt, weight_mask):
+    """Reference get_weighted_bce_loss over valid entries only.
+
+    Returns (loss, precision, recall).
+    """
+    w = weight_mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    eps = 1e-7
+    p = jnp.clip(pred, eps, 1 - eps)
+    bce = -(gt * jnp.log(p) + (1 - gt) * jnp.log(1 - p))
+
+    w_negative = jnp.sum(gt * w) / n
+    w_positive = 1.0 - w_negative
+    cls_w = jnp.where(gt >= 0.5, w_positive, w_negative)
+    loss = jnp.sum(cls_w * bce * w) / n
+
+    pred_pos = (p >= 0.5).astype(jnp.float32) * w
+    true_pos = pred_pos * gt
+    precision = jnp.sum(true_pos) / jnp.maximum(jnp.sum(pred_pos), 1e-12)
+    recall = jnp.sum(true_pos) / jnp.maximum(jnp.sum(gt * w), 1e-12)
+    return loss, precision, recall
+
+
+def circle_loss(
+    coords_dist: jnp.ndarray,
+    feats_dist: jnp.ndarray,
+    pos_radius: float,
+    safe_radius: float,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
+    log_scale: float = 48.0,
+    pos_optimal: float = 0.1,
+    neg_optimal: float = 1.4,
+) -> jnp.ndarray:
+    pos_mask = coords_dist < pos_radius
+    neg_mask = coords_dist > safe_radius
+
+    row_sel = (jnp.sum(pos_mask, -1) > 0) & (jnp.sum(neg_mask, -1) > 0)
+    col_sel = (jnp.sum(pos_mask, -2) > 0) & (jnp.sum(neg_mask, -2) > 0)
+
+    pos_weight = jax.lax.stop_gradient(
+        jnp.maximum(
+            feats_dist - 1e5 * (~pos_mask).astype(feats_dist.dtype)
+            - pos_optimal,
+            0.0,
+        )
+    )
+    neg_weight = jax.lax.stop_gradient(
+        jnp.maximum(
+            neg_optimal
+            - (feats_dist + 1e5 * (~neg_mask).astype(feats_dist.dtype)),
+            0.0,
+        )
+    )
+
+    lse_pos_row = jax.scipy.special.logsumexp(
+        log_scale * (feats_dist - pos_margin) * pos_weight, axis=-1
+    )
+    lse_pos_col = jax.scipy.special.logsumexp(
+        log_scale * (feats_dist - pos_margin) * pos_weight, axis=-2
+    )
+    lse_neg_row = jax.scipy.special.logsumexp(
+        log_scale * (neg_margin - feats_dist) * neg_weight, axis=-1
+    )
+    lse_neg_col = jax.scipy.special.logsumexp(
+        log_scale * (neg_margin - feats_dist) * neg_weight, axis=-2
+    )
+
+    loss_row = jax.nn.softplus(lse_pos_row + lse_neg_row) / log_scale
+    loss_col = jax.nn.softplus(lse_pos_col + lse_neg_col) / log_scale
+
+    wr = row_sel.astype(jnp.float32)
+    wc = col_sel.astype(jnp.float32)
+    mean_row = jnp.sum(loss_row * wr) / jnp.maximum(jnp.sum(wr), 1.0)
+    mean_col = jnp.sum(loss_col * wc) / jnp.maximum(jnp.sum(wc), 1.0)
+    return 0.5 * (mean_row + mean_col)
+
+
+def feature_match_recall(coords_dist, feats_dist, pos_radius):
+    pos_mask = coords_dist < pos_radius
+    has_pos = jnp.sum(pos_mask, -1) > 0
+    sel = jnp.argmin(feats_dist, axis=-1)
+    sel_dist = jnp.take_along_axis(coords_dist, sel[:, None], axis=-1)[:, 0]
+    n_pred = jnp.sum(((sel_dist < pos_radius) & has_pos).astype(jnp.float32))
+    n_gt = jnp.sum(has_pos.astype(jnp.float32)) + 1e-12
+    return n_pred / n_gt
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_points",),
+)
+def metric_loss(
+    key: jax.Array,
+    src_pcd: jnp.ndarray,
+    tgt_pcd: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    tgt_feats: jnp.ndarray,
+    corr_src: jnp.ndarray,
+    corr_tgt: jnp.ndarray,
+    corr_mask: jnp.ndarray,
+    t_gt: jnp.ndarray,
+    scores_overlap_src: jnp.ndarray,
+    scores_overlap_tgt: jnp.ndarray,
+    scores_saliency_src: jnp.ndarray,
+    scores_saliency_tgt: jnp.ndarray,
+    pos_radius: float = 0.21,
+    safe_radius: float = 0.75,
+    overlap_radius: float = 0.45,
+    matchability_radius: float = 0.3,
+    pos_margin: float = 0.1,
+    neg_margin: float = 1.4,
+    log_scale: float = 48.0,
+    max_points: int = 512,
+) -> Dict[str, jnp.ndarray]:
+    """Full MetricLoss.forward parity over masked buffers."""
+    n, m = src_pcd.shape[0], tgt_pcd.shape[0]
+    src_warp = apply_transform(src_pcd, t_gt)
+
+    # --- overlap BCE: membership in the correspondence set ---
+    csrc = jnp.where(corr_mask, corr_src, n)
+    ctgt = jnp.where(corr_mask, corr_tgt, m)
+    src_gt = jnp.zeros((n + 1,)).at[csrc].set(1.0)[:n]
+    tgt_gt = jnp.zeros((m + 1,)).at[ctgt].set(1.0)[:m]
+    all_gt = jnp.concatenate([src_gt, tgt_gt])
+    all_pred = jnp.concatenate([scores_overlap_src, scores_overlap_tgt])
+    all_valid = jnp.concatenate([src_mask, tgt_mask])
+    overlap_loss, overlap_prec, overlap_rec = weighted_bce(
+        all_pred, all_gt, all_valid
+    )
+
+    # --- saliency BCE on overlap points: mutual max-feature matchability ---
+    in0 = (src_gt > 0.5) & src_mask
+    in1 = (tgt_gt > 0.5) & tgt_mask
+    scores = jnp.dot(src_feats, tgt_feats.T,
+                     precision=jax.lax.Precision.HIGHEST)
+    scores0 = jnp.where(in1[None, :], scores, -jnp.inf)
+    idx1 = jnp.argmax(scores0, axis=1)
+    dist1 = jnp.linalg.norm(src_warp - tgt_pcd[idx1], axis=1)
+    scores1 = jnp.where(in0[:, None], scores, -jnp.inf)
+    idx0 = jnp.argmax(scores1, axis=0)
+    dist2 = jnp.linalg.norm(tgt_pcd - src_warp[idx0], axis=1)
+    sal_gt = jnp.concatenate([
+        (dist1 < matchability_radius).astype(jnp.float32),
+        (dist2 < matchability_radius).astype(jnp.float32),
+    ])
+    sal_pred = jnp.concatenate([scores_saliency_src, scores_saliency_tgt])
+    sal_valid = jnp.concatenate([in0, in1])
+    saliency_loss, sal_prec, sal_rec = weighted_bce(sal_pred, sal_gt, sal_valid)
+
+    # --- circle loss over <= max_points sampled tight correspondences ---
+    c_src = jnp.clip(corr_src, 0, n - 1)
+    c_tgt = jnp.clip(corr_tgt, 0, m - 1)
+    c_dist = jnp.linalg.norm(src_warp[c_src] - tgt_pcd[c_tgt], axis=1)
+    tight = corr_mask & (c_dist < pos_radius - 0.001)
+    pick, pick_ok = _sample_without_replacement(key, tight, max_points)
+    ps = c_src[pick]
+    pt = c_tgt[pick]
+
+    sp = src_warp[ps]
+    tp = tgt_pcd[pt]
+    sf = src_feats[ps]
+    tf = tgt_feats[pt]
+    coords_dist = jnp.sqrt(_sq_dist(sp, tp))
+    feats_dist = jnp.sqrt(_sq_dist(sf, tf))
+    # neutralize padded rows/cols: neither positive nor negative
+    neutral = 0.5 * (pos_radius + safe_radius)
+    bad = ~pick_ok
+    coords_dist = jnp.where(bad[:, None] | bad[None, :], neutral, coords_dist)
+
+    closs = circle_loss(
+        coords_dist, feats_dist, pos_radius, safe_radius,
+        pos_margin, neg_margin, log_scale,
+    )
+    recall = feature_match_recall(coords_dist, feats_dist, pos_radius)
+
+    return dict(
+        circle_loss=closs,
+        recall=recall,
+        overlap_loss=overlap_loss,
+        overlap_precision=overlap_prec,
+        overlap_recall=overlap_rec,
+        saliency_loss=saliency_loss,
+        saliency_precision=sal_prec,
+        saliency_recall=sal_rec,
+    )

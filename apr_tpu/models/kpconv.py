@@ -1,0 +1,290 @@
+"""KPConv: kernel-point convolution layers + point pyramid, TPU-native.
+
+Capability parity with Predator_APR/models/blocks.py (KPConv :135-386, block
+library :387-726) and the C++ pyramid construction in
+Predator_APR/datasets/dataloader.py:15-176 + cpp_wrappers — rebuilt as
+on-device ops over padded fixed-capacity buffers:
+
+- the point pyramid (grid subsample x L levels, per-level conv/pool/upsample
+  neighbor tables) is one jit program using apr_tpu.ops voxelize + radius
+  search (the reference runs C++ nanoflann + grid subsampling per batch in
+  DataLoader workers);
+- KPConv computes neighbor->kernel-point influences and aggregates with an
+  einsum chain; shadow neighbors (sentinel index) contribute zero exactly as
+  the reference's 1e6-offset fake point;
+- normalization divides by the number of *valid neighbors* (the reference
+  uses a nonzero-feature-sum proxy for the same quantity, blocks.py:371-375);
+- per-layer neighbor caps replicate the calibrated truncation (sorted by
+  distance, then capped — matching nanoflann's sorted radius search).
+
+The reference's per-instantiation random kernel rotation
+(kernel_points.py:436-468) is off by default (documented nondeterminism,
+SURVEY.md §7); enable with ``randomize_kernel``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apr_tpu.models.kernel_points import load_kernels
+from apr_tpu.models.layers import MaskedInstanceNorm
+from apr_tpu.ops.neighbors import knn, radius_neighbors
+from apr_tpu.ops.voxelize import voxelize
+
+
+# ---------------------------------------------------------------------------
+# Point pyramid
+# ---------------------------------------------------------------------------
+
+class KPLevel(NamedTuple):
+    points: jnp.ndarray      # [N_l, 3]
+    mask: jnp.ndarray        # [N_l]
+    neighbors: jnp.ndarray   # [N_l, cap_l] same-level conv table (sentinel N_l)
+    pools: jnp.ndarray       # [N_{l+1}, cap_l] coarse->fine table ([0,0] dummy at last level)
+    upsamples: jnp.ndarray   # [N_l, 1] nearest coarse index ([0,0] dummy at last level)
+
+
+class KPPyramid(NamedTuple):
+    levels: Tuple[KPLevel, ...]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_levels", "capacities", "neighbor_limits",
+                     "first_subsampling_dl", "conv_radius"),
+)
+def build_kp_pyramid(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    first_subsampling_dl: float = 0.3,
+    conv_radius: float = 4.25,
+    num_levels: int = 4,
+    capacities: Sequence[int] = (16384, 4096, 1024, 256),
+    neighbor_limits: Sequence[int] = (40, 40, 40, 40),
+) -> KPPyramid:
+    """Reference collate_fn_descriptor parity (dataloader.py:90-176).
+
+    Level l: points grid-subsampled at dl * 2^l (barycenter mode = C++
+    grid_subsampling), conv neighbors within r_l = dl * 2^l * conv_radius / 2
+    ... the reference's running radius: r_normal = dl * conv_radius / 2? No:
+    r_normal = first_subsampling_dl * conv_radius (config.conv_radius), then
+    doubles per strided level.  Pool tables use the *finer* level's radius;
+    upsample tables use 1-NN into the coarser level.
+    """
+    levels = []
+    pts_all = []
+    masks_all = []
+    dl = first_subsampling_dl
+    for l in range(num_levels):
+        grid = voxelize(points, dl, capacities[l], mask)
+        pts_all.append(grid.barycenter)
+        masks_all.append(grid.mask)
+        dl = dl * 2
+
+    out = []
+    r = first_subsampling_dl * conv_radius
+    for l in range(num_levels):
+        nb = radius_neighbors(
+            pts_all[l], pts_all[l], r, neighbor_limits[l],
+            q_mask=masks_all[l], s_mask=masks_all[l],
+        )
+        if l + 1 < num_levels:
+            pools = radius_neighbors(
+                pts_all[l + 1], pts_all[l], r, neighbor_limits[l],
+                q_mask=masks_all[l + 1], s_mask=masks_all[l],
+            )
+            up_idx, _ = knn(
+                pts_all[l], pts_all[l + 1], 1,
+                q_mask=masks_all[l], s_mask=masks_all[l + 1],
+            )
+        else:
+            pools = jnp.zeros((1, 1), jnp.int32)
+            up_idx = jnp.zeros((1, 1), jnp.int32)
+        out.append(KPLevel(
+            points=pts_all[l], mask=masks_all[l], neighbors=nb,
+            pools=pools, upsamples=up_idx,
+        ))
+        r = r * 2
+    return KPPyramid(levels=tuple(out))
+
+
+# ---------------------------------------------------------------------------
+# Core KPConv layer
+# ---------------------------------------------------------------------------
+
+class KPConvLayer(nn.Module):
+    """forward(q_pts [Nq,3], s_pts [Ns,3], neighb [Nq,nmax], x [Ns,Cin]).
+
+    Parity: blocks.py:229-374 (sum aggregation, linear influence default).
+    """
+
+    out_channels: int
+    kp_extent: float
+    radius: float
+    num_kernel_points: int = 15
+    influence: str = "linear"          # linear | gaussian | constant
+    aggregation: str = "sum"           # sum | closest
+    fixed_kernel_points: str = "center"
+    randomize_kernel: bool = False
+    kernel_seed: int = 0
+
+    @nn.compact
+    def __call__(self, q_pts, s_pts, neighb_inds, x):
+        ns, cin = x.shape
+        k = self.num_kernel_points
+
+        kp = load_kernels(
+            self.kp_extent, k, 3, self.fixed_kernel_points,
+            rng=np.random.default_rng(self.kernel_seed),
+            deterministic=not self.randomize_kernel,
+        )
+        kernel_points = jnp.asarray(kp)  # [K, 3]
+
+        weights = self.param(
+            "weights",
+            nn.initializers.variance_scaling(2.0, "fan_in", "uniform"),
+            (k, cin, self.out_channels),
+        )
+
+        # shadow point far away (reference: s_pts padded with +1e6 row)
+        s_pad = jnp.concatenate(
+            [s_pts, jnp.full((1, 3), 1e6, s_pts.dtype)], 0
+        )
+        x_pad = jnp.concatenate([x, jnp.zeros((1, cin), x.dtype)], 0)
+        idx = jnp.minimum(neighb_inds, ns)
+
+        neighbors = s_pad[idx] - q_pts[:, None, :]        # [Nq, nmax, 3]
+        diff = neighbors[:, :, None, :] - kernel_points[None, None]  # [Nq,nmax,K,3]
+        sq = jnp.sum(diff * diff, axis=-1)                # [Nq, nmax, K]
+
+        if self.influence == "linear":
+            w = jnp.clip(1.0 - jnp.sqrt(sq) / self.kp_extent, 0.0, None)
+        elif self.influence == "gaussian":
+            sigma = self.kp_extent * 0.3
+            w = jnp.exp(-sq / (2 * sigma * sigma))
+        elif self.influence == "constant":
+            w = jnp.ones_like(sq)
+        else:
+            raise ValueError(self.influence)
+
+        if self.aggregation == "closest":
+            nearest = jnp.argmin(sq, axis=-1)
+            w = w * jax.nn.one_hot(nearest, k, dtype=w.dtype)
+        elif self.aggregation != "sum":
+            raise ValueError(self.aggregation)
+
+        valid = (neighb_inds < ns)                        # [Nq, nmax]
+        w = jnp.where(valid[..., None], w, 0.0)
+
+        neighb_x = x_pad[idx]                             # [Nq, nmax, Cin]
+        # influence-weighted features per kernel point, then the conv sum:
+        # [Nq, K, Cin] x [K, Cin, Cout] -> [Nq, Cout]
+        weighted = jnp.einsum(
+            "qnk,qnc->qkc", w, neighb_x,
+            preferred_element_type=jnp.float32,
+        )
+        out = jnp.einsum(
+            "qkc,kcd->qd", weighted, weights,
+            preferred_element_type=jnp.float32,
+        )
+
+        # neighbor-count normalization (blocks.py:371-375)
+        n_valid = jnp.maximum(jnp.sum(valid, axis=1), 1)
+        return (out / n_valid[:, None]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocks (block_decider parity, blocks.py:387-726)
+# ---------------------------------------------------------------------------
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+class UnaryBlock(nn.Module):
+    out_dim: int
+    use_norm: bool = True
+    no_relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = nn.Dense(self.out_dim, use_bias=not self.use_norm)(x)
+        if self.use_norm:
+            # reference 'BatchNormBlock' is InstanceNorm1d (blocks.py:451)
+            x = MaskedInstanceNorm()(x[None], mask[None])[0]
+        if not self.no_relu:
+            x = _leaky(x)
+        return jnp.where(mask[:, None], x, 0.0)
+
+
+class SimpleBlock(nn.Module):
+    out_dim: int
+    radius: float
+    kp_extent: float
+    num_kernel_points: int = 15
+    influence: str = "linear"
+    aggregation: str = "sum"
+
+    @nn.compact
+    def __call__(self, q_pts, s_pts, neighb, x, q_mask):
+        # KPConv outputs out_dim // 2 (blocks.py:475-504)
+        h = KPConvLayer(
+            self.out_dim // 2, self.kp_extent, self.radius,
+            self.num_kernel_points, self.influence, self.aggregation,
+        )(q_pts, s_pts, neighb, x)
+        h = MaskedInstanceNorm()(h[None], q_mask[None])[0]
+        return jnp.where(q_mask[:, None], _leaky(h), 0.0)
+
+
+class ResnetBottleneckBlock(nn.Module):
+    out_dim: int
+    radius: float
+    kp_extent: float
+    strided: bool = False
+    num_kernel_points: int = 15
+    influence: str = "linear"
+    aggregation: str = "sum"
+
+    @nn.compact
+    def __call__(self, q_pts, s_pts, neighb, x, q_mask, s_mask):
+        """neighb: [Nq, nmax] into supports (pool table when strided)."""
+        ns = s_pts.shape[0]
+        mid = self.out_dim // 4
+        h = x
+        if x.shape[-1] != mid:
+            h = UnaryBlock(mid, name="unary1")(x, s_mask)
+        h = KPConvLayer(
+            mid, self.kp_extent, self.radius,
+            self.num_kernel_points, self.influence, self.aggregation,
+            name="conv",
+        )(q_pts, s_pts, neighb, h)
+        h = MaskedInstanceNorm(name="norm_conv")(h[None], q_mask[None])[0]
+        h = _leaky(h)
+        h = UnaryBlock(self.out_dim, no_relu=True, name="unary2")(h, q_mask)
+
+        if self.strided:
+            # max-pool shortcut over the pool neighborhood (blocks.py:660-668)
+            x_pad = jnp.concatenate([x, jnp.full((1, x.shape[1]), -1e6, x.dtype)], 0)
+            shortcut = jnp.max(x_pad[jnp.minimum(neighb, ns)], axis=1)
+            shortcut = jnp.where(q_mask[:, None], shortcut, 0.0)
+        else:
+            shortcut = x
+        if shortcut.shape[-1] != self.out_dim:
+            shortcut = UnaryBlock(
+                self.out_dim, no_relu=True, name="unary_shortcut"
+            )(shortcut, q_mask)
+        out = _leaky(h + shortcut)
+        return jnp.where(q_mask[:, None], out, 0.0)
+
+
+def nearest_upsample(x_coarse: jnp.ndarray, up_idx: jnp.ndarray) -> jnp.ndarray:
+    """closest_pool parity: copy each fine point's nearest coarse feature."""
+    nc = x_coarse.shape[0]
+    x_pad = jnp.concatenate([x_coarse, jnp.zeros((1, x_coarse.shape[1]), x_coarse.dtype)], 0)
+    return x_pad[jnp.minimum(up_idx[:, 0], nc)]

@@ -1,0 +1,243 @@
+"""KPFCNN (Predator path): KPConv U-Net + overlap-attention + scores.
+
+Parity with Predator_APR/models/architectures.py:9-340 over the 'kitti' /
+'indoor' / 'nuscenes' block lists (configs/models.py): encoder = simple +
+resnetb, then 3x [resnetb_strided, resnetb, resnetb] with channels doubling
+(256 -> 2048); bottleneck 1x1 conv to gnn_feats_dim; GCN self/cross/self over
+the two clouds' superpoints; overlap scores + temperature-softmaxed
+cross-saliency (learnable epsilon, :181-184); decoder = 3x [nearest_upsample,
+unary] with encoder skip concats, ending in last_unary ->
+final_feats_dim + 2; outputs L2-normalized per-point features + sigmoid
+overlap / saliency scores with NaN scrubbing (regular_score :131-134).
+
+TPU-first: the two clouds are separate padded buffers (the reference stacks
+them with stack_lengths); the whole pair forward is one jit program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from apr_tpu.models.gcn import GCN
+from apr_tpu.models.kpconv import (
+    KPPyramid,
+    ResnetBottleneckBlock,
+    SimpleBlock,
+    UnaryBlock,
+    nearest_upsample,
+)
+
+
+class KPFCNNOutputs(NamedTuple):
+    feats0: jnp.ndarray           # [N0, final_feats_dim] L2-normalized
+    feats1: jnp.ndarray
+    overlap0: jnp.ndarray         # [N0]
+    overlap1: jnp.ndarray
+    saliency0: jnp.ndarray        # [N0]
+    saliency1: jnp.ndarray
+
+
+def _regular_score(x):
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+class KPEncoder(nn.Module):
+    """4-level KPConv encoder; returns (bottleneck feats, skip feats)."""
+
+    first_feats_dim: int = 256
+    first_subsampling_dl: float = 0.3
+    conv_radius: float = 4.25
+    kp_extent: float = 2.0
+    num_kernel_points: int = 15
+
+    @nn.compact
+    def __call__(self, pyr: KPPyramid, feats: Optional[jnp.ndarray] = None):
+        r0 = self.first_subsampling_dl * self.conv_radius
+        # KPConv extent scaling: extent = r * KP_extent / conv_radius
+        def extent(r):
+            return r * self.kp_extent / self.conv_radius
+
+        out_dim = self.first_feats_dim
+        lv = pyr.levels
+        if feats is None:
+            # reference input features: ones (in_feats_dim = 1)
+            feats = jnp.where(
+                lv[0].mask[:, None],
+                jnp.ones((lv[0].points.shape[0], 1), jnp.float32), 0.0,
+            )
+
+        skips = []
+        r = r0
+        x = SimpleBlock(
+            out_dim, r, extent(r), self.num_kernel_points, name="enc_simple"
+        )(lv[0].points, lv[0].points, lv[0].neighbors, feats, lv[0].mask)
+        x = ResnetBottleneckBlock(
+            out_dim, r, extent(r), name="enc_l0_resnetb"
+        )(lv[0].points, lv[0].points, lv[0].neighbors, x, lv[0].mask, lv[0].mask)
+
+        for l in range(3):
+            skips.append(x)
+            out_dim *= 2
+            # strided resnetb: coarse queries pool from fine supports
+            x = ResnetBottleneckBlock(
+                out_dim, r, extent(r), strided=True,
+                name=f"enc_l{l}_strided",
+            )(lv[l + 1].points, lv[l].points, lv[l].pools, x,
+              lv[l + 1].mask, lv[l].mask)
+            r *= 2
+            x = ResnetBottleneckBlock(
+                out_dim, r, extent(r), name=f"enc_l{l + 1}_resnetb1"
+            )(lv[l + 1].points, lv[l + 1].points, lv[l + 1].neighbors, x,
+              lv[l + 1].mask, lv[l + 1].mask)
+            x = ResnetBottleneckBlock(
+                out_dim, r, extent(r), name=f"enc_l{l + 1}_resnetb2"
+            )(lv[l + 1].points, lv[l + 1].points, lv[l + 1].neighbors, x,
+              lv[l + 1].mask, lv[l + 1].mask)
+        return x, skips
+
+
+class KPDecoder(nn.Module):
+    """3x [nearest_upsample + unary(+skip)] ending in a bare last_unary."""
+
+    out_dim: int  # final head width (final_feats_dim + 2, or ratio*3)
+
+    @nn.compact
+    def __call__(self, x, skips, pyr: KPPyramid):
+        lv = pyr.levels
+        width = x.shape[-1] // 2  # 258 -> 129 -> 64 pattern of the reference
+        for l in range(2, -1, -1):
+            x = nearest_upsample(x, lv[l].upsamples)
+            x = jnp.concatenate([x, skips[l]], axis=-1)
+            if l > 0:
+                x = UnaryBlock(width, name=f"dec_unary{l}")(x, lv[l].mask)
+                width //= 2
+            else:
+                x = nn.Dense(self.out_dim, name="last_unary")(x)
+                x = jnp.where(lv[0].mask[:, None], x, 0.0)
+        return x
+
+
+class KPFCNN(nn.Module):
+    """Pair forward: (pyr0, pyr1) -> KPFCNNOutputs."""
+
+    final_feats_dim: int = 32
+    first_feats_dim: int = 256
+    gnn_feats_dim: int = 256
+    dgcnn_k: int = 10
+    num_head: int = 4
+    nets: Sequence[str] = ("self", "cross", "self")
+    first_subsampling_dl: float = 0.3
+    conv_radius: float = 4.25
+    kp_extent: float = 2.0
+    num_kernel_points: int = 15
+    condition_feature: bool = True
+    add_cross_score: bool = True
+
+    @nn.compact
+    def __call__(self, pyr0: KPPyramid, pyr1: KPPyramid) -> KPFCNNOutputs:
+        encoder = KPEncoder(
+            self.first_feats_dim, self.first_subsampling_dl,
+            self.conv_radius, self.kp_extent, self.num_kernel_points,
+            name="encoder",
+        )
+        x0, skips0 = encoder(pyr0)
+        x1, skips1 = encoder(pyr1)
+        mask0_c = pyr0.levels[-1].mask
+        mask1_c = pyr1.levels[-1].mask
+
+        bottle = nn.Dense(self.gnn_feats_dim, name="bottle")
+        f0 = jnp.where(mask0_c[:, None], bottle(x0), 0.0)
+        f1 = jnp.where(mask1_c[:, None], bottle(x1), 0.0)
+        uncond0, uncond1 = f0, f1
+
+        gnn = GCN(self.gnn_feats_dim, self.nets, self.dgcnn_k,
+                  self.num_head, name="gnn")
+        f0, f1 = gnn(pyr0.levels[-1].points, pyr1.levels[-1].points,
+                     f0, f1, mask0_c, mask1_c)
+
+        proj_gnn = nn.Dense(self.gnn_feats_dim, name="proj_gnn")
+        proj_score = nn.Dense(1, name="proj_score")
+        g0 = jnp.where(mask0_c[:, None], proj_gnn(f0), 0.0)
+        g1 = jnp.where(mask1_c[:, None], proj_gnn(f1), 0.0)
+        s0 = proj_score(g0)  # [N0c, 1] raw overlap scores
+        s1 = proj_score(g1)
+
+        n0 = g0 / jnp.maximum(jnp.linalg.norm(g0, axis=1, keepdims=True), 1e-12)
+        n1 = g1 / jnp.maximum(jnp.linalg.norm(g1, axis=1, keepdims=True), 1e-12)
+
+        epsilon = self.param("epsilon", lambda k: jnp.asarray(-5.0))
+        temperature = jnp.exp(epsilon) + 0.03
+        inner = jnp.dot(n0, n1.T, precision=jax.lax.Precision.HIGHEST)
+        logits01 = jnp.where(mask1_c[None, :], inner / temperature, -1e9)
+        logits10 = jnp.where(mask0_c[None, :], inner.T / temperature, -1e9)
+        sal0 = jax.nn.softmax(logits01, axis=1) @ s1  # cross-saliency [N0c,1]
+        sal1 = jax.nn.softmax(logits10, axis=1) @ s0
+
+        def condition(s, sal, g, uncond):
+            if self.condition_feature and self.add_cross_score:
+                return jnp.concatenate([s, sal, g], axis=1)
+            if self.condition_feature:
+                return jnp.concatenate([s, g], axis=1)
+            if self.add_cross_score:
+                return jnp.concatenate([s, sal, uncond], axis=1)
+            return jnp.concatenate([s, uncond], axis=1)
+
+        d0 = condition(s0, sal0, g0, uncond0)
+        d1 = condition(s1, sal1, g1, uncond1)
+
+        decoder = KPDecoder(self.final_feats_dim + 2, name="decoder")
+        y0 = decoder(d0, skips0, pyr0)
+        y1 = decoder(d1, skips1, pyr1)
+
+        def heads(y, mask):
+            feats = y[:, : self.final_feats_dim]
+            feats = feats / jnp.maximum(
+                jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12
+            )
+            feats = jnp.where(mask[:, None], feats, 0.0)
+            overlap = _regular_score(
+                jnp.clip(jax.nn.sigmoid(y[:, self.final_feats_dim]), 0, 1)
+            ) * mask
+            saliency = _regular_score(
+                jnp.clip(jax.nn.sigmoid(y[:, self.final_feats_dim + 1]), 0, 1)
+            ) * mask
+            return feats, overlap, saliency
+
+        feats0, overlap0, saliency0 = heads(y0, pyr0.levels[0].mask)
+        feats1, overlap1, saliency1 = heads(y1, pyr1.levels[0].mask)
+        return KPFCNNOutputs(
+            feats0=feats0, feats1=feats1,
+            overlap0=overlap0, overlap1=overlap1,
+            saliency0=saliency0, saliency1=saliency1,
+        )
+
+
+class KPFCNNDecoder(nn.Module):
+    """Symmetric NPR decoder (architectures.py:215-340): a second KPConv
+    U-Net over the same pyramid consuming the encoder's output features,
+    ending in ratio*3 offsets (L2-normalized like the reference)."""
+
+    point_generation_ratio: int = 4
+    first_feats_dim: int = 256
+    first_subsampling_dl: float = 0.3
+    conv_radius: float = 4.25
+    kp_extent: float = 2.0
+    num_kernel_points: int = 15
+
+    @nn.compact
+    def __call__(self, feats, pyr: KPPyramid):
+        lv = pyr.levels
+        encoder = KPEncoder(
+            self.first_feats_dim, self.first_subsampling_dl,
+            self.conv_radius, self.kp_extent, self.num_kernel_points,
+            name="encoder",
+        )
+        x_b, skips = encoder(pyr, feats)
+        decoder = KPDecoder(self.point_generation_ratio * 3, name="decoder")
+        out = decoder(x_b, skips, pyr)
+        norm = jnp.maximum(jnp.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        return jnp.where(lv[0].mask[:, None], out / norm, 0.0)

@@ -1,0 +1,257 @@
+"""Predator-APR trainer: KPFCNN + MetricLoss + generative branch.
+
+Parity with Predator_APR/lib/trainer.py: per step (batch of one pair, the
+reference's fixed batch size — dataloader.py:76):
+
+    total = circle * w_circle + overlap_bce * w_overlap + saliency_bce * w_sal
+          + sum over both frames of (chamfer + reg * reg_strength) * loss_ratio
+
+with w_saliency toggled from 0 to 1 once validation feature-match recall
+exceeds 0.3 (trainer.py:370-374), offsets anchored on metric point
+coordinates (no voxel_size scaling, unlike FCGF — trainer.py:178-204), a
+NaN-chamfer batch skip (invalid_flag :185-220) and a gradient NaN gate
+(validate_gradient lib/utils.py:100) — both folded into one finite-gate on
+the update.  Optimizer: SGD momentum 0.98 or Adam over model+generator
+parameters with per-epoch ExponentialLR (main.py:66-91).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from apr_tpu.config import APRConfig
+from apr_tpu.losses.circle import metric_loss
+from apr_tpu.losses.generative import npr_reconstruction
+from apr_tpu.models.kpconv import KPPyramid, build_kp_pyramid
+from apr_tpu.models.kpfcnn import KPFCNN
+from apr_tpu.models.mlp import make_generative_mlp
+from apr_tpu.registration.matching import gt_correspondences
+from apr_tpu.training.trainer import TrainState
+
+log = logging.getLogger(__name__)
+
+
+class KPPairBatch(NamedTuple):
+    pyr0: KPPyramid
+    pyr1: KPPyramid
+    corr_src: jnp.ndarray
+    corr_tgt: jnp.ndarray
+    corr_mask: jnp.ndarray
+    apc0: jnp.ndarray
+    apc0_mask: jnp.ndarray
+    apc1: jnp.ndarray
+    apc1_mask: jnp.ndarray
+    t_gt: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=("first_subsampling_dl", "conv_radius", "capacities",
+                     "neighbor_limits", "corr_cap", "overlap_radius"),
+)
+def make_kp_pair_batch(
+    points0, mask0, points1, mask1,
+    apc0, apc0_mask, apc1, apc1_mask, t_gt,
+    first_subsampling_dl=0.3,
+    conv_radius=4.25,
+    capacities=(16384, 4096, 2048, 1024),
+    neighbor_limits=(40, 40, 40, 40),
+    corr_cap=2,
+    overlap_radius=0.45,
+) -> KPPairBatch:
+    """One pair -> pyramids + GT correspondences (kitti.py:481 parity:
+    matches found within overlap_radius on the subsampled clouds)."""
+    pyr0 = build_kp_pyramid(
+        points0, mask0, first_subsampling_dl, conv_radius,
+        len(capacities), capacities, neighbor_limits,
+    )
+    pyr1 = build_kp_pyramid(
+        points1, mask1, first_subsampling_dl, conv_radius,
+        len(capacities), capacities, neighbor_limits,
+    )
+    corr = gt_correspondences(
+        pyr0.levels[0].points, pyr1.levels[0].points, t_gt,
+        radius=overlap_radius, cap_per_point=corr_cap,
+        mask0=pyr0.levels[0].mask, mask1=pyr1.levels[0].mask,
+    )
+    return KPPairBatch(
+        pyr0=pyr0, pyr1=pyr1,
+        corr_src=corr.src_idx, corr_tgt=corr.tgt_idx, corr_mask=corr.mask,
+        apc0=apc0, apc0_mask=apc0_mask, apc1=apc1, apc1_mask=apc1_mask,
+        t_gt=t_gt,
+    )
+
+
+class PredatorTrainer:
+    def __init__(self, config: APRConfig):
+        self.config = config
+        c = config
+        self.model = KPFCNN(
+            final_feats_dim=c.final_feats_dim,
+            first_feats_dim=c.first_feats_dim,
+            gnn_feats_dim=c.gnn_feats_dim,
+            dgcnn_k=c.dgcnn_k,
+            num_head=c.num_head,
+            nets=tuple(c.nets),
+            first_subsampling_dl=c.first_subsampling_dl,
+            conv_radius=c.conv_radius,
+            kp_extent=c.KP_extent,
+            num_kernel_points=c.num_kernel_points,
+            condition_feature=c.condition_feature,
+            add_cross_score=c.add_cross_score,
+        )
+        self.generator = make_generative_mlp(
+            c.generator_model, out_points=c.point_generation_ratio,
+        )
+        self.tx = self._make_optimizer()
+
+    def _make_optimizer(self):
+        c = self.config
+
+        def opt(learning_rate):
+            if c.optimizer == "SGD":
+                return optax.chain(
+                    optax.add_decayed_weights(c.weight_decay),
+                    optax.sgd(learning_rate, momentum=c.sgd_momentum),
+                )
+            return optax.adamw(learning_rate, weight_decay=c.weight_decay)
+
+        return optax.inject_hyperparams(opt)(learning_rate=c.lr)
+
+    def epoch_lr(self, epoch: int) -> float:
+        return self.config.lr * (self.config.exp_gamma ** epoch)
+
+    def set_lr(self, state: TrainState, epoch: int) -> TrainState:
+        lr = jnp.asarray(self.epoch_lr(epoch), jnp.float32)
+        hp = dict(state.opt_state.hyperparams)
+        hp["learning_rate"] = lr
+        return state._replace(
+            opt_state=state.opt_state._replace(hyperparams=hp), lr=lr
+        )
+
+    def init_state(self, key: jax.Array, batch: KPPairBatch) -> TrainState:
+        k_m, k_g = jax.random.split(key)
+        # jit the init (eager flax init = hundreds of per-op TPU compiles)
+        mv = jax.jit(self.model.init)(k_m, batch.pyr0, batch.pyr1)
+        n0 = batch.pyr0.levels[0].points.shape[0]
+        gv = jax.jit(
+            lambda k, f, m: self.generator.init(k, f, m, train=False)
+        )(k_g, jnp.zeros((n0, self.config.final_feats_dim)),
+          jnp.ones((n0,), bool))
+        params = {"model": mv["params"], "generator": gv["params"]}
+        batch_stats = {
+            "model": mv.get("batch_stats", {}),
+            "generator": gv.get("batch_stats", {}),
+        }
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            lr=jnp.asarray(self.config.lr, jnp.float32),
+        )
+
+    # --- loss -----------------------------------------------------------
+
+    def loss_fn(self, params, batch_stats, batch: KPPairBatch, key,
+                w_saliency, train: bool):
+        c = self.config
+        out = self.model.apply({"params": params["model"]}, batch.pyr0,
+                               batch.pyr1)
+        m0 = batch.pyr0.levels[0].mask
+        m1 = batch.pyr1.levels[0].mask
+        src = batch.pyr0.levels[0].points
+        tgt = batch.pyr1.levels[0].points
+
+        stats = metric_loss(
+            key, src, tgt, m0, m1, out.feats0, out.feats1,
+            batch.corr_src, batch.corr_tgt, batch.corr_mask, batch.t_gt,
+            out.overlap0, out.overlap1, out.saliency0, out.saliency1,
+            pos_radius=c.pos_radius, safe_radius=c.safe_radius,
+            overlap_radius=c.overlap_radius,
+            matchability_radius=c.matchability_radius,
+            pos_margin=c.pos_margin, neg_margin=c.neg_margin,
+            log_scale=c.log_scale, max_points=c.max_points,
+        )
+
+        # generative branch: offsets anchored on metric points, no voxel scale
+        def gen_branch(feats, anchors, mask, apc, apc_mask, gstats):
+            variables = {"params": params["generator"], "batch_stats": gstats}
+            if train:
+                mo, upd = self.generator.apply(
+                    variables, feats, mask, train=True, mutable=["batch_stats"]
+                )
+                gstats = upd["batch_stats"]
+            else:
+                mo = self.generator.apply(variables, feats, mask, train=False)
+            total, cd, reg = npr_reconstruction(
+                mo, anchors, apc, mask, apc_mask,
+                voxel_size=1.0,
+                reg_type="L2",
+                reg_strength=c.regularization_strength,
+            )
+            return total, cd, reg, gstats
+
+        g0, cd0, reg0, gstats = gen_branch(
+            out.feats0, src, m0, batch.apc0, batch.apc0_mask,
+            batch_stats["generator"])
+        g1, cd1, reg1, gstats = gen_branch(
+            out.feats1, tgt, m1, batch.apc1, batch.apc1_mask, gstats)
+
+        loss = (
+            stats["circle_loss"] * c.w_circle_loss
+            + stats["overlap_loss"] * c.w_overlap_loss
+            + stats["saliency_loss"] * w_saliency
+            + (g0 + g1) * c.loss_ratio
+        )
+        metrics = dict(stats)
+        metrics.update(
+            loss=loss,
+            chamfer_loss=cd0 + cd1,
+            regularization_loss=reg0 + reg1,
+        )
+        new_stats = dict(batch_stats, generator=gstats)
+        return loss, (new_stats, metrics)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, state: TrainState, batch: KPPairBatch, key,
+                   w_saliency):
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key, w_saliency, True)
+
+        finite = jnp.isfinite(loss)
+        leaves = jax.tree_util.tree_leaves(grads)
+        finite = jnp.logical_and(
+            finite,
+            jnp.all(jnp.stack([jnp.all(jnp.isfinite(g)) for g in leaves])),
+        )
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_stats = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_stats, state.batch_stats,
+        )
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        return (
+            state._replace(params=params, batch_stats=new_stats,
+                           opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def valid_step(self, state: TrainState, batch: KPPairBatch, key,
+                   w_saliency):
+        _, (_, metrics) = self.loss_fn(
+            state.params, state.batch_stats, batch, key, w_saliency, False
+        )
+        return metrics

@@ -138,18 +138,21 @@ class FCGFTrainer:
 
     def init_state(self, key: jax.Array, sample_batch: PairBatch) -> TrainState:
         k_enc, k_gen = jax.random.split(key)
-        enc_vars = self.encoder.init(
-            k_enc, sample_batch.feats0, sample_batch.pyramid0, train=False
-        )
+        # jit the init: eager flax init dispatches hundreds of individual ops,
+        # each paying its own compile on TPU (minutes); one traced program
+        # compiles once.
+        enc_vars = jax.jit(
+            lambda k, f, p: self.encoder.init(k, f, p, train=False)
+        )(k_enc, sample_batch.feats0, sample_batch.pyramid0)
         params = {"encoder": enc_vars["params"]}
         batch_stats = {"encoder": enc_vars.get("batch_stats", {})}
         if self.generative:
             f_dummy = jnp.zeros(
                 (1, 8, self.config.model_n_out), jnp.float32
             )
-            gen_vars = self.generator.init(
-                k_gen, f_dummy, jnp.ones((1, 8), bool), train=False
-            )
+            gen_vars = jax.jit(
+                lambda k, f, m: self.generator.init(k, f, m, train=False)
+            )(k_gen, f_dummy, jnp.ones((1, 8), bool))
             params["generator"] = gen_vars["params"]
             batch_stats["generator"] = gen_vars.get("batch_stats", {})
         opt_state = self.tx.init(params)

@@ -32,10 +32,17 @@ def main(path: str):
     mode = flat.pop("mode", mode)
     cfg = APRConfig.from_dict(flat)
 
-    if mode in ("train", "val"):
-        from apr_tpu.training.loop import run_training
+    predator = cfg.trainer == "PredatorTrainer"
 
-        summary = run_training(cfg)
+    if mode in ("train", "val"):
+        if predator:
+            from apr_tpu.training.predator_loop import run_predator_training
+
+            summary = run_predator_training(cfg)
+        else:
+            from apr_tpu.training.loop import run_training
+
+            summary = run_training(cfg)
         logging.info("done: %s", summary)
         return summary
 
@@ -43,22 +50,35 @@ def main(path: str):
         import jax
 
         from apr_tpu.data.datasets import make_dataset
-        from apr_tpu.data.pipeline import PairLoader  # noqa: F401
-        from apr_tpu.eval import FeatureTester
-        from apr_tpu.training import get_trainer
         from apr_tpu.training.checkpoints import CheckpointManager
 
-        trainer = get_trainer(cfg)
         ds = make_dataset(cfg, "test")
         pairs = (ds.get_pair(i) for i in range(len(ds)))
-        tester = FeatureTester(cfg, trainer, None)
         first = ds.get_pair(0)
-        batch = tester._pair_to_batch(first)
-        state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
-        if cfg.weights:
-            mngr = CheckpointManager(cfg.weights)
-            state, _ = mngr.restore_weights_only(state)
-        tester.state = state
+        if predator:
+            from apr_tpu.eval.predator_tester import PredatorTester
+            from apr_tpu.training.predator import PredatorTrainer
+            from apr_tpu.training.predator_loop import pair_to_kp_batch
+
+            trainer = PredatorTrainer(cfg)
+            batch = pair_to_kp_batch(first, cfg)
+            state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
+            if cfg.weights:
+                mngr = CheckpointManager(cfg.weights)
+                state, _ = mngr.restore_weights_only(state)
+            tester = PredatorTester(cfg, trainer, state)
+        else:
+            from apr_tpu.eval import FeatureTester
+            from apr_tpu.training import get_trainer
+
+            trainer = get_trainer(cfg)
+            tester = FeatureTester(cfg, trainer, None)
+            batch = tester._pair_to_batch(first)
+            state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
+            if cfg.weights:
+                mngr = CheckpointManager(cfg.weights)
+                state, _ = mngr.restore_weights_only(state)
+            tester.state = state
         stats = tester.test(pairs)
         logging.info("test summary: %s", stats.summary())
         return stats.summary()

@@ -1,0 +1,168 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apr_tpu.models.kernel_points import load_kernels, optimize_kernel_points
+from apr_tpu.models.kpconv import (
+    KPConvLayer,
+    build_kp_pyramid,
+    nearest_upsample,
+)
+from apr_tpu.models.kpfcnn import KPFCNN
+from apr_tpu.losses.circle import circle_loss, metric_loss, weighted_bce
+from apr_tpu.data.synthetic import pad_points, synthetic_pair
+
+
+def test_kernel_points_well_spread():
+    kp = optimize_kernel_points(15, 3, "center", num_iter=3000)
+    assert kp.shape == (15, 3)
+    np.testing.assert_allclose(kp[0], 0.0, atol=1e-6)  # fixed center
+    r = np.linalg.norm(kp[1:], axis=1)
+    np.testing.assert_allclose(r.mean(), 1.0, atol=0.05)
+    # min pairwise distance reasonably large (points repel)
+    d = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
+    d += np.eye(15) * 10
+    assert d.min() > 0.4, d.min()
+
+
+def test_load_kernels_cache_and_scale(tmp_path):
+    kp1 = load_kernels(2.0, 15, deterministic=True)
+    kp2 = load_kernels(2.0, 15, deterministic=True)
+    np.testing.assert_array_equal(kp1, kp2)  # cached + deterministic
+    r = np.linalg.norm(kp1[1:], axis=1)
+    np.testing.assert_allclose(r.mean(), 2.0, atol=0.1)
+    kp3 = load_kernels(2.0, 15, rng=np.random.default_rng(0))
+    assert not np.allclose(kp1, kp3)  # randomized rotation/noise differs
+
+
+def test_build_kp_pyramid(rng):
+    pts = rng.uniform(-20, 20, size=(5000, 3)).astype(np.float32)
+    mask = np.ones(5000, bool)
+    pyr = build_kp_pyramid(
+        jnp.asarray(pts), jnp.asarray(mask),
+        first_subsampling_dl=0.8, conv_radius=2.5,
+        capacities=(4096, 1024, 512, 256), neighbor_limits=(24, 24, 24, 24),
+    )
+    assert len(pyr.levels) == 4
+    counts = [int(jnp.sum(l.mask)) for l in pyr.levels]
+    assert counts[0] > counts[1] > counts[2] > counts[3] > 0
+    # conv neighbors: valid rows reference valid supports or sentinel
+    lv0 = pyr.levels[0]
+    nb = np.asarray(lv0.neighbors)
+    n0 = nb.shape[0]
+    assert ((nb <= n0)).all()
+    # every valid point finds at least itself in radius
+    valid_rows = np.asarray(lv0.mask)
+    assert (nb[valid_rows] < n0).any(axis=1).all()
+
+
+def test_kpconv_layer_basics(rng, jax_key):
+    n = 256
+    pts = jnp.asarray(rng.uniform(-5, 5, size=(n, 3)).astype(np.float32))
+    from apr_tpu.ops.neighbors import radius_neighbors
+
+    nb = radius_neighbors(pts, pts, 1.5, 16)
+    feats = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    layer = KPConvLayer(out_channels=16, kp_extent=1.2, radius=1.5)
+    variables = layer.init(jax_key, pts, pts, nb, feats)
+    out = layer.apply(variables, pts, pts, nb, feats)
+    assert out.shape == (n, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # all-sentinel neighbor rows produce zeros
+    nb_bad = jnp.full_like(nb, n)
+    out2 = layer.apply(variables, pts, pts, nb_bad, feats)
+    np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def kpfcnn_setup():
+    d = synthetic_pair(0, n_points=3000, apc_points=100, distance=8.0,
+                       extent=30.0)
+    caps = (2048, 512, 256, 128)
+    model = KPFCNN(
+        final_feats_dim=16, first_feats_dim=64, gnn_feats_dim=64,
+        first_subsampling_dl=1.0, conv_radius=2.5,
+    )
+
+    def build(points):
+        p, m = pad_points(points, 4096)
+        return build_kp_pyramid(
+            jnp.asarray(p), jnp.asarray(m),
+            first_subsampling_dl=1.0, conv_radius=2.5,
+            capacities=caps, neighbor_limits=(20, 20, 20, 20),
+        )
+
+    pyr0 = build(d["points0"])
+    pyr1 = build(d["points1"])
+    variables = model.init(jax.random.PRNGKey(0), pyr0, pyr1)
+    return model, variables, pyr0, pyr1, d
+
+
+def test_kpfcnn_forward(kpfcnn_setup):
+    model, variables, pyr0, pyr1, d = kpfcnn_setup
+    out = model.apply(variables, pyr0, pyr1)
+    m0 = np.asarray(pyr0.levels[0].mask)
+    f0 = np.asarray(out.feats0)
+    assert f0.shape[1] == 16
+    np.testing.assert_allclose(
+        np.linalg.norm(f0[m0], axis=1), 1.0, atol=1e-4
+    )
+    assert (f0[~m0] == 0).all()
+    ov = np.asarray(out.overlap0)
+    assert ((ov >= 0) & (ov <= 1)).all()
+    assert np.isfinite(np.asarray(out.saliency1)).all()
+    assert (np.asarray(out.overlap1)[~np.asarray(pyr1.levels[0].mask)] == 0).all()
+
+
+def test_weighted_bce():
+    pred = jnp.asarray([0.9, 0.1, 0.8, 0.2])
+    gt = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    mask = jnp.ones(4, bool)
+    loss, prec, rec = weighted_bce(pred, gt, mask)
+    assert float(prec) == 1.0 and float(rec) == 1.0
+    assert float(loss) < 0.2
+    # masked entries are ignored
+    pred2 = jnp.asarray([0.9, 0.1, 0.1, 0.9])  # last two wrong but masked
+    mask2 = jnp.asarray([True, True, False, False])
+    _, prec2, rec2 = weighted_bce(pred2, gt, mask2)
+    assert float(prec2) == 1.0 and float(rec2) == 1.0
+
+
+def test_circle_loss_orders_features(rng, jax_key):
+    p = 64
+    coords = jnp.asarray(rng.uniform(-5, 5, (p, 3)).astype(np.float32))
+    coords_dist = jnp.sqrt(
+        jnp.sum((coords[:, None] - coords[None]) ** 2, -1)
+    )
+    # good features: distance 0 at diagonal (positives), large elsewhere
+    good = jnp.where(jnp.eye(p, dtype=bool), 0.05, 1.8)
+    bad = jnp.where(jnp.eye(p, dtype=bool), 1.8, 0.05)
+    l_good = circle_loss(coords_dist, good, pos_radius=0.5, safe_radius=1.0)
+    l_bad = circle_loss(coords_dist, bad, pos_radius=0.5, safe_radius=1.0)
+    assert float(l_good) < float(l_bad)
+
+
+def test_metric_loss_full(kpfcnn_setup, jax_key):
+    model, variables, pyr0, pyr1, d = kpfcnn_setup
+    out = model.apply(variables, pyr0, pyr1)
+    from apr_tpu.registration.matching import gt_correspondences
+
+    src = pyr0.levels[0].points
+    tgt = pyr1.levels[0].points
+    m0 = pyr0.levels[0].mask
+    m1 = pyr1.levels[0].mask
+    t_gt = jnp.asarray(d["t_gt"])
+    corr = gt_correspondences(src, tgt, t_gt, radius=1.0, cap_per_point=2,
+                              mask0=m0, mask1=m1)
+    assert int(jnp.sum(corr.mask)) > 50
+    stats = metric_loss(
+        jax_key, src, tgt, m0, m1, out.feats0, out.feats1,
+        corr.src_idx, corr.tgt_idx, corr.mask, t_gt,
+        out.overlap0, out.overlap1, out.saliency0, out.saliency1,
+        pos_radius=1.0, safe_radius=2.5, matchability_radius=1.2,
+        max_points=256,
+    )
+    for k, v in stats.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert float(stats["circle_loss"]) > 0

@@ -1,0 +1,91 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from apr_tpu.geometry import apply_transform, rotation_from_euler
+from apr_tpu.registration.benchmark_utils import (
+    feature_match_recall_sweep,
+    get_inlier_ratio,
+    mutual_selection,
+)
+from apr_tpu.utils.misc import hash_pairs
+from apr_tpu.utils.trajectory import CameraPose, read_trajectory, write_trajectory
+from apr_tpu.utils.transforms import ChromaticShift, Compose, Jitter
+from apr_tpu.eval.benchmark3dmatch import benchmark_scene, transformation_error
+
+
+def test_hash_pairs_excludes_duplicates():
+    pairs = np.array([[1, 2], [3, 4], [1, 2]])
+    h = hash_pairs(pairs, seed=100)
+    assert h[0] == h[2] and h[0] != h[1]
+    # matches the reference formula sum(arr[:,d] * seed^d)
+    assert h[0] == 1 + 2 * 100
+
+
+def test_transforms(rng):
+    feats = np.ones((10, 3), np.float32)
+    t = Compose([Jitter(sigma=0.01, p=1.0), ChromaticShift(sigma=0.1, p=1.0)])
+    out = t(rng, feats)
+    assert out.shape == feats.shape
+    assert not np.allclose(out, feats)
+    t2 = Jitter(p=0.0)
+    np.testing.assert_array_equal(t2(rng, feats), feats)
+
+
+def test_inlier_ratio(rng):
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = np.asarray(rotation_from_euler(jnp.asarray([0.1, 0.2, 0.0])))
+    t[:3, 3] = [5, 1, 0]
+    n = 200
+    src = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    tgt = np.array(apply_transform(jnp.asarray(src), jnp.asarray(t)))
+    f = rng.normal(size=(n, 16)).astype(np.float32)
+    out = get_inlier_ratio(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(f), jnp.asarray(f),
+        jnp.asarray(t),
+    )
+    # identical features match i <-> i exactly -> all inliers
+    assert float(out["inlier_ratio"]) > 0.99
+    assert float(out["inlier_ratio_mutual"]) > 0.99
+
+
+def test_fmr_sweep():
+    ratios = [0.0, 0.05, 0.2, 0.5]
+    out = feature_match_recall_sweep(ratios, ratio_thresholds=[0.05, 0.1])
+    np.testing.assert_allclose(out, [0.5, 0.5])
+
+
+def test_mutual_selection():
+    s = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
+    m = np.asarray(mutual_selection(s))
+    assert m[0, 0] and m[1, 1] and not m[0, 1] and not m[1, 0]
+
+
+def test_trajectory_roundtrip(tmp_path):
+    poses = [
+        CameraPose((0, 1, 2), np.arange(16, dtype=float).reshape(4, 4)),
+        CameraPose((1, 2, 2), np.eye(4)),
+    ]
+    p = str(tmp_path / "traj.log")
+    write_trajectory(p, poses)
+    back = read_trajectory(p)
+    assert back[0].meta == (0, 1, 2)
+    np.testing.assert_allclose(back[0].pose, poses[0].pose)
+    np.testing.assert_allclose(back[1].pose, np.eye(4))
+
+
+def test_benchmark_scene_recall():
+    gt = [CameraPose((0, 5, 10), np.eye(4)), CameraPose((0, 1, 10), np.eye(4))]
+    info = [CameraPose((0, 5, 10), np.eye(6) * 100),
+            CameraPose((0, 1, 10), np.eye(6) * 100)]
+    good = np.eye(4)
+    bad = np.eye(4)
+    bad[:3, 3] = [5, 0, 0]
+    est_good = [CameraPose((0, 5, 10), good)]
+    est_bad = [CameraPose((0, 5, 10), bad)]
+    s1 = benchmark_scene(est_good, gt, info)
+    s2 = benchmark_scene(est_bad, gt, info)
+    assert s1["recall"] == 1.0  # one non-consecutive gt pair, matched
+    assert s2["recall"] == 0.0
+    assert transformation_error(good, np.eye(4), np.eye(6)) < 1e-9
