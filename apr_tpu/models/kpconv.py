@@ -160,39 +160,52 @@ class KPConvLayer(nn.Module):
         idx = jnp.minimum(neighb_inds, ns)
 
         neighbors = s_pad[idx] - q_pts[:, None, :]        # [Nq, nmax, 3]
-        diff = neighbors[:, :, None, :] - kernel_points[None, None]  # [Nq,nmax,K,3]
-        sq = jnp.sum(diff * diff, axis=-1)                # [Nq, nmax, K]
+        valid = (neighb_inds < ns)                        # [Nq, nmax]
+        neighb_x = x_pad[idx]                             # [Nq, nmax, Cin]
 
-        if self.influence == "linear":
-            w = jnp.clip(1.0 - jnp.sqrt(sq) / self.kp_extent, 0.0, None)
-        elif self.influence == "gaussian":
-            sigma = self.kp_extent * 0.3
-            w = jnp.exp(-sq / (2 * sigma * sigma))
-        elif self.influence == "constant":
-            w = jnp.ones_like(sq)
-        else:
+        def influence_of(sq):
+            if self.influence == "linear":
+                return jnp.clip(1.0 - jnp.sqrt(sq) / self.kp_extent, 0.0, None)
+            if self.influence == "gaussian":
+                sigma = self.kp_extent * 0.3
+                return jnp.exp(-sq / (2 * sigma * sigma))
+            if self.influence == "constant":
+                return jnp.ones_like(sq)
             raise ValueError(self.influence)
 
         if self.aggregation == "closest":
+            # needs the full [Nq, nmax, K] distance tensor for the argmin
+            diff = neighbors[:, :, None, :] - kernel_points[None, None]
+            sq = jnp.sum(diff * diff, axis=-1)
+            w = influence_of(sq)
             nearest = jnp.argmin(sq, axis=-1)
             w = w * jax.nn.one_hot(nearest, k, dtype=w.dtype)
-        elif self.aggregation != "sum":
+            w = jnp.where(valid[..., None], w, 0.0)
+            weighted = jnp.einsum("qnk,qnc->qkc", w, neighb_x,
+                                  preferred_element_type=jnp.float32)
+            out = jnp.einsum("qkc,kcd->qd", weighted, weights,
+                             preferred_element_type=jnp.float32)
+        elif self.aggregation == "sum":
+            # scan over the K kernel points: each step is a VPU
+            # weighted-reduce [Nq, nmax] x [Nq, nmax, Cin] -> [Nq, Cin] plus
+            # ONE large MXU matmul [Nq, Cin] @ [Cin, Cout].  The fused
+            # [Nq, nmax, K] formulation lowers to thousands of tiny batched
+            # matmuls that XLA-TPU takes minutes to compile.
+            def step(acc, inputs):
+                kp, w_k = inputs  # kp [3], w_k [Cin, Cout]
+                diff = neighbors - kp[None, None, :]
+                sq = jnp.sum(diff * diff, axis=-1)        # [Nq, nmax]
+                infl = jnp.where(valid, influence_of(sq), 0.0)
+                tmp = jnp.einsum("qn,qnc->qc", infl, neighb_x,
+                                 preferred_element_type=jnp.float32)
+                return acc + jnp.dot(tmp, w_k,
+                                     preferred_element_type=jnp.float32), None
+
+            init = jnp.zeros((neighb_x.shape[0], self.out_channels),
+                             jnp.float32)
+            out, _ = jax.lax.scan(step, init, (kernel_points, weights))
+        else:
             raise ValueError(self.aggregation)
-
-        valid = (neighb_inds < ns)                        # [Nq, nmax]
-        w = jnp.where(valid[..., None], w, 0.0)
-
-        neighb_x = x_pad[idx]                             # [Nq, nmax, Cin]
-        # influence-weighted features per kernel point, then the conv sum:
-        # [Nq, K, Cin] x [K, Cin, Cout] -> [Nq, Cout]
-        weighted = jnp.einsum(
-            "qnk,qnc->qkc", w, neighb_x,
-            preferred_element_type=jnp.float32,
-        )
-        out = jnp.einsum(
-            "qkc,kcd->qd", weighted, weights,
-            preferred_element_type=jnp.float32,
-        )
 
         # neighbor-count normalization (blocks.py:371-375)
         n_valid = jnp.maximum(jnp.sum(valid, axis=1), 1)

@@ -169,7 +169,11 @@ class KPFCNN(nn.Module):
         n0 = g0 / jnp.maximum(jnp.linalg.norm(g0, axis=1, keepdims=True), 1e-12)
         n1 = g1 / jnp.maximum(jnp.linalg.norm(g1, axis=1, keepdims=True), 1e-12)
 
-        epsilon = self.param("epsilon", lambda k: jnp.asarray(-5.0))
+        # strong-typed scalar: a weak-typed init flips to strong after the
+        # first optimizer step and forces a full train_step recompile
+        epsilon = self.param(
+            "epsilon", lambda k: jnp.full((), -5.0, jnp.float32)
+        )
         temperature = jnp.exp(epsilon) + 0.03
         inner = jnp.dot(n0, n1.T, precision=jax.lax.Precision.HIGHEST)
         logits01 = jnp.where(mask1_c[None, :], inner / temperature, -1e9)

@@ -150,11 +150,13 @@ class PredatorTrainer:
             "generator": gv.get("batch_stats", {}),
         }
         opt_state = self.tx.init(params)
-        return TrainState(
+        from apr_tpu.training.trainer import strongify
+
+        return strongify(TrainState(
             params=params, batch_stats=batch_stats, opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             lr=jnp.asarray(self.config.lr, jnp.float32),
-        )
+        ))
 
     # --- loss -----------------------------------------------------------
 

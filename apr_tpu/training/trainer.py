@@ -54,6 +54,18 @@ class TrainState(NamedTuple):
     lr: jnp.ndarray
 
 
+def strongify(tree):
+    """Clear weak types on every array leaf.
+
+    Weak-typed scalars (e.g. ``jnp.asarray(-5.0)``) become strong-typed after
+    one jitted update, changing the pytree signature and forcing a full
+    train_step recompile on the SECOND step — minutes on TPU.
+    """
+    return jax.tree.map(
+        lambda x: x.astype(x.dtype) if hasattr(x, "astype") else x, tree
+    )
+
+
 def _flatten_pairs(pos_src, pos_tgt, pos_mask, n):
     """Offset per-pair voxel indices into the concatenated [B*N] feature rows."""
     b = pos_src.shape[0]
@@ -156,13 +168,13 @@ class FCGFTrainer:
             params["generator"] = gen_vars["params"]
             batch_stats["generator"] = gen_vars.get("batch_stats", {})
         opt_state = self.tx.init(params)
-        return TrainState(
+        return strongify(TrainState(
             params=params,
             batch_stats=batch_stats,
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             lr=jnp.asarray(self.config.lr, jnp.float32),
-        )
+        ))
 
     # --- forward helpers ------------------------------------------------
 
