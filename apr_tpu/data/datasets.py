@@ -90,4 +90,12 @@ def make_dataset(config: APRConfig, phase: str) -> PairDataset:
         from apr_tpu.data.nuscenes import NuscenesComplementDataset
 
         return NuscenesComplementDataset(config, phase)
+    if name in ("IndoorDataset", "ThreeDMatchPairDataset"):
+        from apr_tpu.data.indoor import IndoorDataset
+
+        return IndoorDataset(config, phase)
+    if name == "ModelNetHdf":
+        from apr_tpu.data.modelnet import ModelNetHdf
+
+        return ModelNetHdf(config, phase)
     raise ValueError(f"unknown dataset: {name}")

@@ -91,16 +91,21 @@ class FeatureTester:
             m0 = batch.pyramid0.levels[0].mask[0]
             m1 = batch.pyramid1.levels[0].mask[0]
 
-            # random 5000-point subsample of valid voxels (test_apr.py:142)
+            # random 5000-point subsample of valid voxels (test_apr.py:142),
+            # gathered into a compact [n_sub, C] buffer so the feature-NN
+            # search runs over n_sub x N instead of N x N
             k_sub, k_ransac = jax.random.split(key)
+            n_sub = min(c.test_subsample, m0.shape[0])
             scores = jnp.where(m0, jax.random.uniform(k_sub, m0.shape), -1.0)
-            _, sel = jax.lax.top_k(scores, min(c.test_subsample, m0.shape[0]))
-            sub_mask = jnp.zeros_like(m0).at[sel].set(True) & m0
+            top, sel = jax.lax.top_k(scores, n_sub)
+            sub_ok = top >= 0.0
+            f0_sub = f0[sel]
+            xyz0_sub = xyz0[sel]
 
-            corr = feature_nn_correspondences(f0, f1, sub_mask, m1)
+            corr = feature_nn_correspondences(f0_sub, f1, sub_ok, m1)
             tgt_pts = xyz1[jnp.clip(corr.tgt_idx, 0, xyz1.shape[0] - 1)]
             res = ransac_pose(
-                k_ransac, xyz0, tgt_pts, corr.mask,
+                k_ransac, xyz0_sub, tgt_pts, corr.mask,
                 distance_threshold=thresh,
                 ransac_n=4,
                 num_hypotheses=c.test_num_ransac_hypotheses,
@@ -127,6 +132,7 @@ class FeatureTester:
             conv1_kernel_size=c.conv1_kernel_size,
             corr_cap=c.corr_capacity_per_point,
             search_multiplier=c.positive_pair_search_voxel_size_multiplier,
+            with_correspondences=False,
         )
 
     def test(self, pairs: Iterable[dict], seed: int = 0,

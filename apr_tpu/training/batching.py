@@ -45,7 +45,7 @@ class PairBatch(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("voxel_size", "capacities", "conv1_kernel_size",
-                     "corr_cap", "search_multiplier"),
+                     "corr_cap", "search_multiplier", "with_correspondences"),
 )
 def make_pair_batch(
     points0: jnp.ndarray,   # [B, N, 3] padded raw points
@@ -62,11 +62,14 @@ def make_pair_batch(
     conv1_kernel_size: int = 5,
     corr_cap: int = 1,
     search_multiplier: float = 1.5,
+    with_correspondences: bool = True,
 ) -> PairBatch:
     """Voxelize both clouds, build pyramids, find GT correspondences.
 
     The GT match radius is voxel_size * search_multiplier, the reference's
     positive_pair_search_voxel_size_multiplier (complement_data_loader.py:677).
+    ``with_correspondences=False`` (test time) skips the N x N GT radius
+    search — the tester derives matches from features, not GT.
     """
 
     def one(pts0, m0, pts1, m1, t):
@@ -82,12 +85,18 @@ def make_pair_batch(
         xyz1 = jnp.where(
             (g1.rep < n)[:, None], pts1[jnp.minimum(g1.rep, n - 1)], 0.0
         )
-        corr = gt_correspondences(
-            xyz0, xyz1, t,
-            radius=voxel_size * search_multiplier,
-            cap_per_point=corr_cap,
-            mask0=g0.mask, mask1=g1.mask,
-        )
+        if with_correspondences:
+            corr = gt_correspondences(
+                xyz0, xyz1, t,
+                radius=voxel_size * search_multiplier,
+                cap_per_point=corr_cap,
+                mask0=g0.mask, mask1=g1.mask,
+            )
+        else:
+            from apr_tpu.registration.matching import Correspondences
+
+            z = jnp.zeros((1,), jnp.int32)
+            corr = Correspondences(z, z, jnp.zeros((1,), bool))
         return pyr0, pyr1, xyz0, xyz1, corr
 
     pyr0, pyr1, xyz0, xyz1, corr = jax.vmap(one)(
