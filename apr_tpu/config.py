@@ -141,6 +141,11 @@ class APRConfig:
     num_devices: Optional[int] = None  # default: all
 
     def replace(self, **kw) -> "APRConfig":
+        # lists (from CLI nargs / YAML) coerce to tuples so configs stay
+        # hashable for jit static arguments
+        for f in dataclasses.fields(self):
+            if f.name in kw and isinstance(kw[f.name], list):
+                kw[f.name] = tuple(kw[f.name])
         return dataclasses.replace(self, **kw)
 
     def to_dict(self) -> dict:

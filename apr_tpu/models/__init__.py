@@ -8,6 +8,11 @@ from __future__ import annotations
 
 from apr_tpu.models.mlp import GenerativeMLP, MLP_VARIANTS, make_generative_mlp
 from apr_tpu.models.resunet import ResUNet2, make_resunet, _VARIANTS as RESUNET_VARIANTS
+from apr_tpu.models.simpleunet import (
+    SimpleUNet,
+    make_simplenet,
+    simplenet_names,
+)
 from apr_tpu.models.sparse import (
     SparseLevel,
     SparsePyramid,
@@ -24,13 +29,15 @@ def load_model(name: str):
     """Return a factory(config-kwargs) -> flax Module for a registered name."""
     if name in _RESUNET_NAMES:
         return lambda **kw: make_resunet(name, **kw)
+    if name in simplenet_names():
+        return lambda **kw: make_simplenet(name, **kw)
     if name in MLP_VARIANTS:
         return lambda **kw: make_generative_mlp(name, **kw)
     raise ValueError(f"unknown model name: {name}")
 
 
 def model_names():
-    return _RESUNET_NAMES + sorted(MLP_VARIANTS)
+    return _RESUNET_NAMES + simplenet_names() + sorted(MLP_VARIANTS)
 
 
 __all__ = [

@@ -61,9 +61,18 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
     config.save_json(os.path.join(config.out_dir, "config.json"))
 
     trainer = get_trainer(config)
-    mesh = make_mesh(
-        jax.devices()[: config.num_devices] if config.num_devices else None
-    )
+    devices = jax.devices()
+    if config.num_devices:
+        devices = devices[: config.num_devices]
+    # the batch shards across the mesh: use the largest device count that
+    # divides the batch size
+    n_dev = len(devices)
+    while config.batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(devices[:n_dev])
+    if n_dev != len(devices):
+        log.info("mesh uses %d/%d devices (batch_size=%d)",
+                 n_dev, len(devices), config.batch_size)
     train_ds = make_dataset(config, "train")
     val_ds = make_dataset(config, "val")
     train_loader = PairLoader(train_ds, config, shuffle=True, seed=config.seed)
