@@ -52,6 +52,14 @@ class APRConfig:
     regularization_strength: float = 0.01
     regularization_type: str = "L2"
     alpha: float = 1.0
+    # chamfer backend: "exact" = streaming brute force (default; ~1.9s/step
+    # at full KITTI scale); "grid" = spatially-bucketed NN — 500x faster
+    # standalone but currently pathological inside the differentiated train
+    # step on TPU (XLA schedules the scan+gather chain ~100x slower when
+    # embedded; device faults at some sizes) — experimental opt-in
+    chamfer_mode: str = "exact"
+    chamfer_cell_multiplier: float = 4.0   # cell = multiplier * voxel_size
+    chamfer_bucket_cap: int = 64
 
     # --- KPConv / Predator path (YAML field names preserved) ---
     num_layers: int = 4

@@ -60,12 +60,19 @@ def npr_reconstruction(
     reg_type: str = "L2",
     reg_strength: float = 0.01,
     alpha: float = 1.0,
+    chamfer_mode: str = "exact",
+    chamfer_cell_size: float = 1.2,
+    chamfer_bucket_cap: int = 64,
+    apc_sorted: bool = False,
 ):
     """(chamfer + reg * strength, chamfer, reg) of the generative branch.
 
     For FCGF parity pass ``voxel_size`` = the quantization size and
     ``anchor_points`` = voxel_size * integer coords; for Predator parity pass
     ``voxel_size=1`` and ``anchor_points`` = metric points.
+    ``chamfer_mode='grid'`` uses the spatially-bucketed fast path (see
+    apr_tpu.ops.chamfer_grid — exact when the APC is voxel-deduplicated and
+    the NN lies within one cell).
     """
     n = mlp_output.shape[0]
     ratio = mlp_output.shape[1] // 3
@@ -74,5 +81,14 @@ def npr_reconstruction(
 
     recon = (offsets + anchor_points[:, None, :]).reshape(n * ratio, 3)
     recon_mask = jnp.repeat(feat_mask, ratio)
-    cd = chamfer_distance(recon, apc_points, recon_mask, apc_mask)
+    if chamfer_mode == "grid":
+        from apr_tpu.ops.chamfer_grid import chamfer_distance_grid
+
+        cd = chamfer_distance_grid(
+            recon, apc_points, recon_mask, apc_mask,
+            cell_size=chamfer_cell_size, bucket_cap=chamfer_bucket_cap,
+            b_sorted=apc_sorted,
+        )
+    else:
+        cd = chamfer_distance(recon, apc_points, recon_mask, apc_mask)
     return cd + reg * reg_strength, cd, reg

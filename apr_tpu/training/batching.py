@@ -45,7 +45,8 @@ class PairBatch(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("voxel_size", "capacities", "conv1_kernel_size",
-                     "corr_cap", "search_multiplier", "with_correspondences"),
+                     "corr_cap", "search_multiplier", "with_correspondences",
+                     "apc_sort_cell"),
 )
 def make_pair_batch(
     points0: jnp.ndarray,   # [B, N, 3] padded raw points
@@ -63,6 +64,7 @@ def make_pair_batch(
     corr_cap: int = 1,
     search_multiplier: float = 1.5,
     with_correspondences: bool = True,
+    apc_sort_cell: float = 0.0,
 ) -> PairBatch:
     """Voxelize both clouds, build pyramids, find GT correspondences.
 
@@ -102,6 +104,27 @@ def make_pair_batch(
     pyr0, pyr1, xyz0, xyz1, corr = jax.vmap(one)(
         points0, mask0, points1, mask1, t_gt
     )
+
+    # voxel-dedup the APC targets (reference sel_nghb quantization,
+    # complement_data_loader.py:669-674) — also bounds per-cell occupancy
+    # for the grid Chamfer's no-truncation guarantee — and pre-sort them by
+    # chamfer cell key so the training step needs no in-graph sort
+    def dedup(apc, am):
+        g = voxelize(apc, voxel_size, apc.shape[0], am)
+        n = apc.shape[0]
+        pts = jnp.where(
+            (g.rep < n)[:, None], apc[jnp.minimum(g.rep, n - 1)], 0.0
+        )
+        if apc_sort_cell > 0:
+            from apr_tpu.ops.chamfer_grid import sort_supports_by_cell
+
+            return sort_supports_by_cell(pts, g.mask, apc_sort_cell)
+        return pts, g.mask
+
+    if apc0.shape[1] > 8:  # skip for the dummy test-time placeholders
+        apc0, apc0_mask = jax.vmap(dedup)(apc0, apc0_mask)
+        apc1, apc1_mask = jax.vmap(dedup)(apc1, apc1_mask)
+
     b, c0 = xyz0.shape[0], xyz0.shape[1]
     feats0 = jnp.where(
         pyr0.levels[0].mask[..., None], jnp.ones((b, c0, 1), jnp.float32), 0.0

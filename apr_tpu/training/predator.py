@@ -80,6 +80,23 @@ def make_kp_pair_batch(
         radius=overlap_radius, cap_per_point=corr_cap,
         mask0=pyr0.levels[0].mask, mask1=pyr1.levels[0].mask,
     )
+
+    # voxel-dedup APC targets (kitti.py voxelizes nghb clouds too) — bounds
+    # cell occupancy for the grid Chamfer's exactness guarantee
+    if apc0.shape[0] > 8:
+        from apr_tpu.ops.voxelize import voxelize
+
+        def dedup(apc, am):
+            g = voxelize(apc, first_subsampling_dl, apc.shape[0], am)
+            n = apc.shape[0]
+            pts = jnp.where(
+                (g.rep < n)[:, None], apc[jnp.minimum(g.rep, n - 1)], 0.0
+            )
+            return pts, g.mask
+
+        apc0, apc0_mask = dedup(apc0, apc0_mask)
+        apc1, apc1_mask = dedup(apc1, apc1_mask)
+
     return KPPairBatch(
         pyr0=pyr0, pyr1=pyr1,
         corr_src=corr.src_idx, corr_tgt=corr.tgt_idx, corr_mask=corr.mask,
@@ -196,6 +213,11 @@ class PredatorTrainer:
                 voxel_size=1.0,
                 reg_type="L2",
                 reg_strength=c.regularization_strength,
+                chamfer_mode=c.chamfer_mode,
+                chamfer_cell_size=(
+                    c.chamfer_cell_multiplier * c.first_subsampling_dl
+                ),
+                chamfer_bucket_cap=c.chamfer_bucket_cap,
             )
             return total, cd, reg, gstats
 

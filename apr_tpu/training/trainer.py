@@ -241,11 +241,28 @@ class FCGFTrainer:
                 reg_type=c.regularization_type,
                 reg_strength=c.regularization_strength,
                 alpha=c.alpha,
+                chamfer_mode=c.chamfer_mode,
+                chamfer_cell_size=c.chamfer_cell_multiplier * c.voxel_size,
+                chamfer_bucket_cap=c.chamfer_bucket_cap,
+                apc_sorted=c.chamfer_mode == "grid",
             )
             return total, cd, reg
 
-        totals, cds, regs = jax.vmap(one)(mlp_out, anchors, mask, apc, apc_mask)
-        return jnp.sum(totals) * c.loss_ratio, jnp.sum(cds), jnp.sum(regs), new_stats
+        if c.chamfer_mode == "grid":
+            # per-cloud unrolled loop: vmapping the grid-chamfer
+            # sort/searchsorted/gather chain miscompiles on TPU (device
+            # fault), and lax.map executes it pathologically slowly
+            b = mlp_out.shape[0]
+            outs = [one(mlp_out[i], anchors[i], mask[i], apc[i], apc_mask[i])
+                    for i in range(b)]
+            total = sum(o[0] for o in outs)
+            cd = sum(o[1] for o in outs)
+            reg = sum(o[2] for o in outs)
+        else:
+            totals, cds, regs = jax.vmap(one)(mlp_out, anchors, mask, apc,
+                                              apc_mask)
+            total, cd, reg = jnp.sum(totals), jnp.sum(cds), jnp.sum(regs)
+        return total * c.loss_ratio, cd, reg, new_stats
 
     # --- the train step -------------------------------------------------
 

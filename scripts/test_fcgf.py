@@ -1,0 +1,75 @@
+"""FCGF baseline tester (reference FCGF_APR/scripts/test_fcgf.py parity).
+
+Differences from scripts.test_apr (:54-74, :146-154): loads the
+best-validation checkpoint of a (non-generative) FCGF run and subsamples to
+EXACTLY ``--num_points`` points per cloud (random_sample semantics) before
+matching.
+
+    python -m scripts.test_fcgf --save_dir ./outputs/fcgf_kitti_...
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.test_apr import str2bool  # noqa: E402
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--save_dir", required=True)
+    ap.add_argument("--kitti_root", type=str, default=None)
+    ap.add_argument("--dataset", type=str, default=None)
+    ap.add_argument("--LoKITTI", type=str2bool, default=None)
+    ap.add_argument("--pair_min_dist", type=float, default=None)
+    ap.add_argument("--pair_max_dist", type=float, default=None)
+    ap.add_argument("--num_points", type=int, default=5000)
+    ap.add_argument("--num_pairs", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from apr_tpu.config import APRConfig
+    from apr_tpu.data.datasets import make_dataset
+    from apr_tpu.eval import FeatureTester
+    from apr_tpu.training import get_trainer
+    from apr_tpu.training.checkpoints import CheckpointManager
+
+    cfg = APRConfig.load_json(os.path.join(args.save_dir, "config.json"))
+    overrides = {
+        k: v for k, v in vars(args).items()
+        if v is not None and k in APRConfig.__dataclass_fields__
+    }
+    cfg = cfg.replace(
+        random_rotation=True, random_scale=False,
+        test_subsample=args.num_points, **overrides,
+    )
+
+    trainer = get_trainer(cfg)
+    ds = make_dataset(cfg, "test")
+    n = len(ds) if args.num_pairs is None else min(len(ds), args.num_pairs)
+    pairs = (ds.get_pair(i) for i in range(n))
+
+    tester = FeatureTester(cfg, trainer, None)
+    batch = tester._pair_to_batch(ds.get_pair(0))
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
+    mngr = CheckpointManager(args.save_dir)
+    # best-val checkpoint = the snapshot tagged best (falls back to latest)
+    state, meta = mngr.restore_weights_only(state)
+    logging.info("loaded checkpoint at epoch %s (best_val=%s)",
+                 meta.get("epoch"), meta.get("best_val"))
+    tester.state = state
+
+    stats = tester.test(pairs)
+    s = stats.summary()
+    logging.info("registration recall %.4f over %d pairs (%.2f pairs/s)",
+                 s["recall"], s["n_pairs"], s["pairs_per_sec"])
+    return s
+
+
+if __name__ == "__main__":
+    main()
