@@ -144,6 +144,13 @@ class APRConfig:
     out_dir: str = "./outputs"
     resume: Optional[str] = None
     weights: Optional[str] = None
+    # jax.profiler trace capture: when set, steps [profile_start,
+    # profile_start + profile_steps) of epoch 0 are traced into this dir
+    # (view with tensorboard / xprof).  Replaces the reference's wall-clock
+    # Timer instrumentation (SURVEY.md §5.1) with real device profiles.
+    profile_dir: Optional[str] = None
+    profile_start: int = 5
+    profile_steps: int = 3
 
     # --- parallel ---
     num_devices: Optional[int] = None  # default: all

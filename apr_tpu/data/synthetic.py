@@ -78,6 +78,38 @@ def synthetic_lidar_frame(
     return pts.astype(np.float32)
 
 
+def _sample_view(
+    scene: np.ndarray,
+    sensor: np.ndarray,
+    yaw: float,
+    rng: np.random.Generator,
+    n_points: int,
+    max_range: float = 80.0,
+    noise: float = 0.01,
+) -> np.ndarray:
+    """Sample one sensor view of a SHARED world scene.
+
+    Body-frame convention: x_body = R(yaw)^T (x_world - sensor).
+    Range cut + range-dependent thinning + measurement noise differ per view
+    (independent rng), so the two frames observe the same world through
+    different samplings — like two LiDAR scans of one street.
+    """
+    rel = scene - sensor[None, :]
+    r = np.linalg.norm(rel, axis=1)
+    keep = r < max_range
+    pts = rel[keep]
+    p_keep = np.clip(
+        12.0 / np.maximum(np.linalg.norm(pts[:, :2], axis=1), 2.0), 0.05, 1.0
+    )
+    pts = pts[rng.uniform(size=len(pts)) < p_keep]
+    pts = pts + rng.normal(0, noise, pts.shape).astype(np.float32)
+    if len(pts) > n_points:
+        pts = pts[rng.choice(len(pts), n_points, replace=False)]
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    return (pts @ rot).astype(np.float32)  # pts @ R == R^T x per point
+
+
 def synthetic_pair(
     seed: int = 0,
     n_points: int = 30000,
@@ -87,41 +119,38 @@ def synthetic_pair(
 ):
     """A distant pair + APC targets with exact ground truth.
 
-    Returns dict with: points0, points1 (each in its own sensor frame),
-    t_gt (4x4 mapping frame0 coords -> frame1 coords), apc0, apc1 (dense
-    aggregated clouds in each frame's coordinates — the reconstruction
-    targets of the APG recipe).
+    Returns dict with: points0, points1 (each in its own sensor frame,
+    sampled from ONE shared world scene), t_gt (4x4 mapping frame0 coords ->
+    frame1 coords), apc0, apc1 (denser aggregated clouds in each frame's
+    coordinates — the reconstruction targets of the APG recipe).
     """
     rng = np.random.default_rng(seed)
-    # shared world scene
-    scene_seed = int(rng.integers(1 << 31))
-    yaw = rng.uniform(-0.3, 0.3)
+    scene = _scene_surface_points(
+        np.random.default_rng(int(rng.integers(1 << 31))),
+        int(max(n_points, apc_points) * 4),
+        extent,
+    )
+    yaw = float(rng.uniform(-0.3, 0.3))
     pos0 = np.array([0.0, 0.0, 1.8], np.float32)
     d_ang = rng.uniform(0, 2 * np.pi)
     pos1 = pos0 + np.array(
-        [distance * np.cos(d_ang), distance * np.sin(d_ang), rng.uniform(-0.2, 0.2)],
+        [distance * np.cos(d_ang), distance * np.sin(d_ang),
+         rng.uniform(-0.2, 0.2)],
         np.float32,
     )
 
-    def world_frame(seed_, n, sensor, yaw_):
-        pts = synthetic_lidar_frame(seed_, n, extent, tuple(sensor))
-        c, s = np.cos(yaw_), np.sin(yaw_)
-        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-        return pts @ rot.T  # sensor frame with own heading
+    p0 = _sample_view(scene, pos0, 0.0, rng, n_points)
+    p1 = _sample_view(scene, pos1, yaw, rng, n_points)
 
-    p0 = world_frame(scene_seed, n_points, pos0, 0.0)
-    p1 = world_frame(scene_seed + 1, n_points, pos1, yaw)
-
-    # t_gt: frame0 -> frame1 : x1 = R1^T (x0_world - pos1) where x0_world =
-    # R0 x0 + pos0 ; R0 = I here, R1 = yaw rotation
+    # x_body = R^T (x_world - pos):  x1 = R1^T (x0 + pos0 - pos1)
     c, s = np.cos(yaw), np.sin(yaw)
     r1 = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
     t_gt = np.eye(4, dtype=np.float32)
     t_gt[:3, :3] = r1.T
     t_gt[:3, 3] = r1.T @ (pos0 - pos1)
 
-    apc0 = world_frame(scene_seed + 2, apc_points, pos0, 0.0)
-    apc1 = world_frame(scene_seed + 3, apc_points, pos1, yaw)
+    apc0 = _sample_view(scene, pos0, 0.0, rng, apc_points)
+    apc1 = _sample_view(scene, pos1, yaw, rng, apc_points)
     return dict(points0=p0, points1=p1, t_gt=t_gt, apc0=apc0, apc1=apc1)
 
 

@@ -123,10 +123,16 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
             batch = shard_batch(batch, mesh)
             data_timer.toc()
             key, k = jax.random.split(key)
+            if config.profile_dir and step == config.profile_start:
+                jax.profiler.start_trace(config.profile_dir)
             step_timer.tic()
             state, m = trainer.train_step(state, batch, k)
             jax.block_until_ready(m["loss"])
             step_timer.toc()
+            if (config.profile_dir
+                    and step == config.profile_start + config.profile_steps):
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s", config.profile_dir)
             step += 1
             for name, v in m.items():
                 meters.setdefault(name, AverageMeter()).update(float(v))
