@@ -67,6 +67,48 @@ def mutual_nn_correspondences(
     )
 
 
+def find_nn(
+    feats0: jnp.ndarray,
+    feats1: jnp.ndarray,
+    mask1: Optional[jnp.ndarray] = None,
+):
+    """Nearest neighbor in feature space: (idx [N0], sqdist [N0]).
+
+    Replaces both find_nn_cpu (scipy cKDTree, FCGF_APR/lib/eval.py:9) and
+    find_nn_gpu (chunked brute-force pdist, eval.py:18-44) — one streaming
+    min-reduction serves both roles on TPU.
+    """
+    d2, idx = nn_distances(feats0, feats1, s_mask=mask1)
+    return idx, d2
+
+
+def pose_estimation(
+    xyz0: jnp.ndarray,
+    xyz1: jnp.ndarray,
+    feats0: jnp.ndarray,
+    feats1: jnp.ndarray,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+):
+    """Convenience: feature matching + robust IRLS pose.
+
+    Parity with the reference's pose_estimation
+    (FCGF_APR/util/transform_estimation.py:119-144): max-similarity matching
+    weighted by the similarity score, refined by est_quad_linear_robust.
+    Returns (transform [4,4], weights [N0]).
+    """
+    from apr_tpu.geometry.robust import est_rigid_robust
+
+    n1 = feats1.shape[0]
+    corr = feature_nn_correspondences(feats0, feats1, mask0, mask1)
+    matched = xyz1[jnp.clip(corr.tgt_idx, 0, n1 - 1)]
+    # similarity weight = feature inner product of the matched pair
+    f1m = feats1[jnp.clip(corr.tgt_idx, 0, n1 - 1)]
+    weight = jnp.sum(feats0 * f1m, axis=1) * corr.mask
+    t = est_rigid_robust(xyz0, matched, weight)
+    return t, weight
+
+
 def gt_correspondences(
     xyz0: jnp.ndarray,
     xyz1: jnp.ndarray,
