@@ -15,6 +15,7 @@ between GPU features and multi-second CPU RANSAC).
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, Iterable, List, Optional
@@ -136,11 +137,53 @@ class FeatureTester:
         )
 
     def test(self, pairs: Iterable[dict], seed: int = 0,
-             log_freq: int = 10) -> TestStats:
+             log_freq: int = 10, pipelined: bool = True) -> TestStats:
+        """Evaluate all pairs.
+
+        ``pipelined=True`` (default) submits every pair's device program
+        asynchronously and synchronizes ONCE at the end — per-pair host/device
+        round-trip latency (multi-second through the axon tunnel) amortizes
+        across the whole set.  ``pipelined=False`` syncs per pair and reports
+        per-pair wall times (reference-style progress logging).
+        """
         c = self.config
         stats = TestStats()
         key = jax.random.PRNGKey(seed)
         timer = Timer()
+
+        if pipelined:
+            results = []
+            t_start = None
+            n_done = 0
+            for i, pair in enumerate(pairs):
+                key, k = jax.random.split(key)
+                batch = self._pair_to_batch(pair)
+                out = self._step(
+                    self.state.params, self.state.batch_stats, batch, k
+                )
+                results.append(out)
+                if i == 0:
+                    # first pair pays compilation; sync then start the clock
+                    jax.block_until_ready(out[0])
+                    t_start = time.time()
+                else:
+                    n_done += 1
+            if results:
+                jax.block_until_ready(results[-1][0])
+            total = (time.time() - t_start) if t_start is not None else 0.0
+            for i, (t_est, rte, rre, fitness) in enumerate(results):
+                rte = float(rte)
+                rre = float(rre) if np.isfinite(float(rre)) else 180.0
+                stats.rte.append(rte)
+                stats.rre.append(rre)
+                stats.success.append(
+                    rte < c.rte_thresh and rre < c.rre_thresh
+                )
+                stats.fitness.append(float(fitness))
+                if i > 0:
+                    stats.sec_per_pair.append(total / max(n_done, 1))
+            return stats
+
         for i, pair in enumerate(pairs):
             key, k = jax.random.split(key)
             timer.tic()

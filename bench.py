@@ -53,7 +53,7 @@ def main():
     pairs = [
         synthetic_pair(seed=s, n_points=30000, apc_points=4, extent=60.0,
                        distance=float(np.random.default_rng(s).uniform(15, 25)))
-        for s in range(9)
+        for s in range(33)
     ]
 
     tester_state = None
