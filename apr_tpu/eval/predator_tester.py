@@ -99,16 +99,35 @@ class PredatorTester:
         )
 
     def test(self, pairs: Iterable[dict], seed: int = 0,
-             log_freq: int = 10) -> TestStats:
+             log_freq: int = 10, pipelined: bool = True) -> TestStats:
+        """Pipelined by default (one device sync for the whole set — see
+        FeatureTester.test); pipelined=False syncs per pair with progress
+        logging."""
+        import time
+
         c = self.config
         stats = TestStats()
         key = jax.random.PRNGKey(seed)
+
+        results = []
+        t_start = None
+        n_done = 0
         timer = Timer()
         for i, pair in enumerate(pairs):
             key, k = jax.random.split(key)
-            timer.tic()
+            if not pipelined:
+                timer.tic()
             batch = self._pair_to_batch(pair)
-            _, rte, rre, fitness = self._step(self.state.params, batch, k)
+            out = self._step(self.state.params, batch, k)
+            if pipelined:
+                results.append(out)
+                if i == 0:
+                    jax.block_until_ready(out[0])
+                    t_start = time.time()
+                else:
+                    n_done += 1
+                continue
+            _, rte, rre, fitness = out
             rte = float(rte)
             rre = float(rre) if np.isfinite(float(rre)) else 180.0
             dt = timer.toc(average=False)
@@ -122,6 +141,22 @@ class PredatorTester:
                 s = stats.summary()
                 log.info("pair %d: recall=%.3f (%.2f pairs/s)", i + 1,
                          s["recall"], s.get("pairs_per_sec", 0.0))
+
+        if pipelined:
+            if results:
+                jax.block_until_ready(results[-1][0])
+            total = (time.time() - t_start) if t_start is not None else 0.0
+            for i, (_, rte, rre, fitness) in enumerate(results):
+                rte = float(rte)
+                rre = float(rre) if np.isfinite(float(rre)) else 180.0
+                stats.rte.append(rte)
+                stats.rre.append(rre)
+                stats.success.append(
+                    rte < c.rte_thresh and rre < c.rre_thresh
+                )
+                stats.fitness.append(float(fitness))
+                if i > 0:
+                    stats.sec_per_pair.append(total / max(n_done, 1))
         return stats
 
 
