@@ -22,7 +22,7 @@ drop out of every term exactly like absent rows.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ a sorted-key membership test instead of CPU hashing.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

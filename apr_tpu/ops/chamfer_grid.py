@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from apr_tpu.ops.hashing import COORD_BITS, INVALID_KEY, pack_coords
+from apr_tpu.ops.hashing import INVALID_KEY, pack_coords
 
 _NEIGHBOR_OFFSETS = [
     (dx, dy, dz)

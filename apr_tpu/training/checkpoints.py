@@ -15,7 +15,6 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from apr_tpu.config import APRConfig
 from apr_tpu.training.trainer import TrainState
 
 

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--complement_pair_dist", type=float, default=10.0)
     ap.add_argument("--num_complement_one_side", type=int, default=3)
     ap.add_argument("--icp_voxel_size", type=float, default=0.05)
+    ap.add_argument("--pairwise", action="store_true",
+                    help="per-complement pairwise ICP instead of multiway "
+                         "pose-graph registration (the reference's "
+                         "debug_use_old_complement path, "
+                         "complement_data_loader.py:566-570)")
     args = ap.parse_args()
 
     from apr_tpu.config import APRConfig
@@ -97,10 +102,24 @@ def main():
             xyz_key = ds._get_xyz(drive, t_key)
             xyz_cmpls = [ds._get_xyz(drive, t) for t in t_cmpls]
             inits = [odo_init(poses[t], poses[t_key]) for t in t_cmpls]
-            ms = multiway_complement_transforms(
-                xyz_key, xyz_cmpls, inits,
-                cfg.num_complement_one_side, args.icp_voxel_size,
-            )
+            if args.pairwise:
+                # old method: ICP each complement onto the key frame
+                # (_get_neighbourhood_icp parity)
+                from apr_tpu.data.multiway import _voxel_dedup
+
+                key_ds_pts = _voxel_dedup(xyz_key, args.icp_voxel_size)
+                ms = []
+                for x, init in zip(xyz_cmpls, inits):
+                    reg = registration_icp(
+                        _voxel_dedup(x, args.icp_voxel_size), key_ds_pts,
+                        0.2, init, max_iteration=200,
+                    )
+                    ms.append(reg.transformation)
+            else:
+                ms = multiway_complement_transforms(
+                    xyz_key, xyz_cmpls, inits,
+                    cfg.num_complement_one_side, args.icp_voxel_size,
+                )
             for t_c, m in zip(t_cmpls, ms):
                 np.save(os.path.join(
                     ds.icp_path, "%d_%d_%d.npy" % (drive, t_c, t_key)), m)
