@@ -82,16 +82,8 @@ class FeatureTester:
         thresh = c.test_ransac_dist_thresh or c.voxel_size
 
         @jax.jit
-        def step(params, batch_stats, batch, key):
-            f0, _ = self.trainer._encode(params, batch_stats, batch.feats0,
-                                         batch.pyramid0, False)
-            f1, _ = self.trainer._encode(params, batch_stats, batch.feats1,
-                                         batch.pyramid1, False)
-            f0, f1 = f0[0], f1[0]
-            xyz0, xyz1 = batch.xyz0[0], batch.xyz1[0]
-            m0 = batch.pyramid0.levels[0].mask[0]
-            m1 = batch.pyramid1.levels[0].mask[0]
-
+        def eval_one(params, batch_stats, f0, f1, xyz0, xyz1, m0, m1, t_gt,
+                     key):
             # random 5000-point subsample of valid voxels (test_apr.py:142),
             # gathered into a compact [n_sub, C] buffer so the feature-NN
             # search runs over n_sub x N instead of N x N
@@ -111,10 +103,100 @@ class FeatureTester:
                 ransac_n=4,
                 num_hypotheses=c.test_num_ransac_hypotheses,
             )
-            rte, rre = registration_errors(res.transform, batch.t_gt[0])
+            rte, rre = registration_errors(res.transform, t_gt)
             return res.transform, rte, rre, res.fitness
 
+        self._eval_one = eval_one
+
+        def step(params, batch_stats, batch, key):
+            f0, _ = self.trainer._encode(params, batch_stats, batch.feats0,
+                                         batch.pyramid0, False)
+            f1, _ = self.trainer._encode(params, batch_stats, batch.feats1,
+                                         batch.pyramid1, False)
+            m0 = batch.pyramid0.levels[0].mask[0]
+            m1 = batch.pyramid1.levels[0].mask[0]
+            return eval_one(params, batch_stats, f0[0], f1[0],
+                            batch.xyz0[0], batch.xyz1[0], m0, m1,
+                            batch.t_gt[0], key)
+
         return step
+
+    def test_sharded(self, pairs, mesh=None, seed: int = 0) -> TestStats:
+        """Multi-chip eval fan-out (SURVEY.md §5.8): a group of pairs batches
+        into one PairBatch whose leading dim shards across the mesh; each
+        chip evaluates its pairs in the same SPMD program."""
+        from apr_tpu.parallel import make_mesh, replicate, shard_batch
+
+        c = self.config
+        mesh = mesh or make_mesh()
+        d = len(mesh.devices.reshape(-1))
+        pairs = list(pairs)
+        stats = TestStats()
+        key = jax.random.PRNGKey(seed)
+        params = replicate(self.state.params, mesh)
+        batch_stats = replicate(self.state.batch_stats, mesh)
+
+        @jax.jit
+        def sharded_step(params, bstats, batch, keys):
+            f0, _ = self.trainer._encode(params, bstats, batch.feats0,
+                                         batch.pyramid0, False)
+            f1, _ = self.trainer._encode(params, bstats, batch.feats1,
+                                         batch.pyramid1, False)
+            return jax.vmap(
+                self._eval_one, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)
+            )(params, bstats, f0, f1, batch.xyz0, batch.xyz1,
+              batch.pyramid0.levels[0].mask, batch.pyramid1.levels[0].mask,
+              batch.t_gt, keys)
+
+        import time as _time
+
+        t0 = None
+        n_timed = 0
+        for g in range(0, len(pairs), d):
+            group = pairs[g:g + d]
+            while len(group) < d:  # pad the tail group by repetition
+                group.append(group[-1])
+            cols = [[] for _ in range(4)]
+            for pair in group:
+                p0, m0 = pad_points(pair["points0"], c.point_capacity)
+                p1, m1 = pad_points(pair["points1"], c.point_capacity)
+                for col, v in zip(cols, (p0, m0, p1, m1)):
+                    col.append(v)
+            zeros = jnp.zeros((d, 1, 3))
+            zmask = jnp.zeros((d, 1), bool)
+            batch = make_pair_batch(
+                jnp.asarray(np.stack(cols[0])), jnp.asarray(np.stack(cols[1])),
+                jnp.asarray(np.stack(cols[2])), jnp.asarray(np.stack(cols[3])),
+                zeros, zmask, zeros, zmask,
+                jnp.asarray(np.stack([p["t_gt"] for p in group])),
+                voxel_size=c.voxel_size, capacities=c.capacities,
+                conv1_kernel_size=c.conv1_kernel_size,
+                corr_cap=c.corr_capacity_per_point,
+                search_multiplier=c.positive_pair_search_voxel_size_multiplier,
+                with_correspondences=False,
+            )
+            batch = shard_batch(batch, mesh)
+            key, k = jax.random.split(key)
+            keys = jax.random.split(k, d)
+            t_est, rte, rre, fitness = sharded_step(
+                params, batch_stats, batch, keys
+            )
+            jax.block_until_ready(rte)
+            if t0 is None:
+                t0 = _time.time()  # first group pays compilation
+            else:
+                n_timed += len(pairs[g:g + d])
+            for i in range(len(pairs[g:g + d])):
+                r, e = float(rte[i]), float(rre[i])
+                e = e if np.isfinite(e) else 180.0
+                stats.rte.append(r)
+                stats.rre.append(e)
+                stats.success.append(r < c.rte_thresh and e < c.rre_thresh)
+                stats.fitness.append(float(fitness[i]))
+        if t0 is not None and n_timed:
+            per = (_time.time() - t0) / n_timed
+            stats.sec_per_pair.extend([per] * n_timed)
+        return stats
 
     def _pair_to_batch(self, pair):
         c = self.config

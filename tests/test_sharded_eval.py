@@ -1,0 +1,37 @@
+"""Multi-chip eval fan-out on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from apr_tpu.config import APRConfig
+from apr_tpu.data.synthetic import synthetic_pair
+from apr_tpu.eval import FeatureTester
+from apr_tpu.parallel import make_mesh
+from apr_tpu.training import get_trainer
+
+
+@pytest.mark.slow
+def test_sharded_eval_matches_single(rng):
+    cfg = APRConfig(
+        trainer="GenerativePairTrainer", model="ResUNetBN2", model_n_out=16,
+        conv1_kernel_size=3, generator_model="GenerativeMLP_54",
+        point_generation_ratio=2, voxel_size=1.0,
+        point_capacity=2048, capacities=(1024, 512, 256, 128),
+        apc_capacity=8,
+        test_num_ransac_hypotheses=1024, test_subsample=400,
+    )
+    trainer = get_trainer(cfg)
+    pairs = [synthetic_pair(s, n_points=1800, apc_points=4, distance=5.0,
+                            extent=25.0) for s in range(4)]
+    tester = FeatureTester(cfg, trainer, None)
+    b0 = tester._pair_to_batch(pairs[0])
+    state = trainer.init_state(jax.random.PRNGKey(0), b0)
+    tester.state = state
+
+    mesh = make_mesh(jax.devices()[:4])
+    stats = tester.test_sharded(pairs, mesh=mesh, seed=0)
+    assert len(stats.rte) == 4
+    assert all(np.isfinite(stats.rte))
+    # every pair produced a plausible (finite, bounded) registration attempt
+    assert all(r < 1000 for r in stats.rte)
