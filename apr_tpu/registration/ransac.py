@@ -74,6 +74,8 @@ def ransac_pose(
     mapping src -> tgt.
     """
     m = src_xyz.shape[0]
+    hypothesis_chunk = min(hypothesis_chunk, num_hypotheses)
+    num_hypotheses = (num_hypotheses // hypothesis_chunk) * hypothesis_chunk
     if corr_mask is None:
         corr_mask = jnp.ones((m,), bool)
     n_valid = jnp.sum(corr_mask)
