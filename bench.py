@@ -4,10 +4,17 @@ Prints ONE JSON line:
     {"metric": "pairs_per_sec", "value": N, "unit": "pairs/s", "vs_baseline": R}
 
 Protocol (mirrors the reference test pipeline, FCGF_APR/scripts/test_apr.py):
-per pair — voxelize both clouds (0.3 m), build pyramids, ResUNetFatBN(128)
-forward x2, 5000-point subsample, feature-NN correspondences, 32768-hypothesis
-RANSAC, pose errors.  Synthetic KITTI-scale clouds (~30k pts, 80 m range,
-15-25 m pair distance); weights are random (throughput is weight-independent).
+per pair — voxelize both 30k-pt clouds (0.3 m), build 4-level pyramids,
+ResUNetFatBN(128) forward x2, 5000-point subsample, feature-NN
+correspondences, 32768-hypothesis RANSAC, pose errors.  Weights are random
+(throughput is weight-independent).
+
+Measurement: the WHOLE pipeline runs as the body of one lax.scan over K
+iterations inside a single jit dispatch, with per-iteration key-dependent
+point jitter so no stage can be hoisted.  One dispatch = one host<->device
+round trip, so the number reflects device throughput rather than the
+host-tunnel latency of this environment (which varies 1000x between runs;
+eval in production uses the same pipelining — see FeatureTester.test).
 
 Baseline: the reference pipeline on an A100 + CPU Open3D RANSAC (4M iters,
 10k confidence) is estimated at ~0.5 pairs/sec (RANSAC-dominated; no absolute
@@ -16,26 +23,32 @@ number is published — BASELINE.md).  The north-star target is 2x A100, i.e.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 TARGET_PAIRS_PER_SEC = 1.0  # 2x the estimated A100 reference pipeline
+SCAN_ITERS = 32
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    # persistent compilation cache: first run pays ~7 min of XLA compiles,
-    # subsequent runs start in seconds
-    jax.config.update("jax_compilation_cache_dir", "/tmp/apr_tpu_xla_cache")
+    # persistent compilation cache (repo-local so it survives /tmp cleanup
+    # between rounds)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".xla_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from apr_tpu.config import APRConfig
-    from apr_tpu.data.synthetic import synthetic_pair
+    from apr_tpu.data.synthetic import pad_points, synthetic_pair
     from apr_tpu.eval import FeatureTester
     from apr_tpu.training import get_trainer
+    from apr_tpu.training.batching import make_pair_batch
 
     cfg = APRConfig(
         trainer="GenerativePairTrainer",
@@ -50,26 +63,73 @@ def main():
     )
     trainer = get_trainer(cfg)
 
-    pairs = [
-        synthetic_pair(seed=s, n_points=30000, apc_points=4, extent=60.0,
-                       distance=float(np.random.default_rng(s).uniform(15, 25)))
-        for s in range(33)
-    ]
-
-    tester_state = None
-    # init from the first pair's batch
-    t0 = time.time()
-    from apr_tpu.training.batching import make_pair_batch  # noqa: F401
-
+    print("# generating pair...", file=sys.stderr, flush=True)
+    pair = synthetic_pair(seed=0, n_points=30000, apc_points=4, extent=60.0,
+                          distance=20.0)
     tester = FeatureTester(cfg, trainer, None)
-    batch0 = tester._pair_to_batch(pairs[0])
+    batch0 = tester._pair_to_batch(pair)
     state = trainer.init_state(jax.random.PRNGKey(0), batch0)
     tester.state = state
 
-    stats = tester.test(pairs, seed=0, log_freq=1000)
-    init_s = time.time() - t0
+    p0, m0 = pad_points(pair["points0"], cfg.point_capacity)
+    p1, m1 = pad_points(pair["points1"], cfg.point_capacity)
+    raw = (jnp.asarray(p0), jnp.asarray(m0), jnp.asarray(p1), jnp.asarray(m1),
+           jnp.asarray(pair["t_gt"]))
 
-    value = stats.summary()["pairs_per_sec"]
+    c = cfg
+
+    def one_pair(key, pts0, mask0, pts1, mask1, t_gt):
+        # key-dependent jitter defeats loop-invariant hoisting while being
+        # geometrically negligible (0.1 mm)
+        k_j, k_e = jax.random.split(key)
+        pts0 = pts0 + jax.random.normal(k_j, pts0.shape) * 1e-4
+        zeros = jnp.zeros((1, 1, 3))
+        zmask = jnp.zeros((1, 1), bool)
+        batch = make_pair_batch(
+            pts0[None], mask0[None], pts1[None], mask1[None],
+            zeros, zmask, zeros, zmask, t_gt[None],
+            voxel_size=c.voxel_size, capacities=c.capacities,
+            conv1_kernel_size=c.conv1_kernel_size,
+            corr_cap=c.corr_capacity_per_point,
+            search_multiplier=c.positive_pair_search_voxel_size_multiplier,
+            with_correspondences=False,
+        )
+        f0, _ = trainer._encode(state.params, state.batch_stats,
+                                batch.feats0, batch.pyramid0, False)
+        f1, _ = trainer._encode(state.params, state.batch_stats,
+                                batch.feats1, batch.pyramid1, False)
+        return tester._eval_one(
+            state.params, state.batch_stats, f0[0], f1[0],
+            batch.xyz0[0], batch.xyz1[0],
+            batch.pyramid0.levels[0].mask[0], batch.pyramid1.levels[0].mask[0],
+            batch.t_gt[0], k_e,
+        )
+
+    @jax.jit
+    def bench_scan(key, raw):
+        pts0, mask0, pts1, mask1, t_gt = raw
+
+        def body(carry, k):
+            t_est, rte, rre, fit = one_pair(k, pts0, mask0, pts1, mask1, t_gt)
+            return carry + rte, (rte, rre)
+
+        keys = jax.random.split(key, SCAN_ITERS)
+        acc, outs = jax.lax.scan(body, jnp.zeros(()), keys)
+        return acc, outs
+
+    t0 = time.time()
+    acc, outs = bench_scan(jax.random.PRNGKey(1), raw)
+    jax.block_until_ready(acc)
+    compile_s = time.time() - t0
+    print(f"# compiled+first run in {compile_s:.1f}s", file=sys.stderr,
+          flush=True)
+
+    t0 = time.time()
+    acc, outs = bench_scan(jax.random.PRNGKey(2), raw)
+    jax.block_until_ready(acc)
+    dt = time.time() - t0
+    value = SCAN_ITERS / dt
+
     print(
         json.dumps(
             {
@@ -81,8 +141,9 @@ def main():
         )
     )
     print(
-        f"# detail: {len(pairs)} pairs, init+compile {init_s:.1f}s, "
-        f"recall(untrained)={stats.summary()['recall']:.2f}",
+        f"# detail: {SCAN_ITERS} full-pipeline iterations in one dispatch, "
+        f"{dt:.3f}s total ({dt / SCAN_ITERS * 1e3:.1f} ms/pair); "
+        f"compile {compile_s:.1f}s",
         file=sys.stderr,
     )
 

@@ -137,3 +137,21 @@ def test_e2e_slice_features_to_pose(rng, jax_key):
     )
     rte, rre = registration_errors(res.transform, jnp.asarray(t_gt))
     assert float(rte) < 0.3 and float(rre) < 2.0, (float(rte), float(rre))
+
+
+def test_find_nn_and_pose_estimation(rng):
+    from apr_tpu.registration.matching import find_nn, pose_estimation
+
+    t = _rigid(rng, angle=0.1, trans=1.0)
+    x0 = rng.uniform(-10, 10, (300, 3)).astype(np.float32)
+    x1 = np.array(apply_transform(jnp.asarray(x0), jnp.asarray(t)))
+    f = rng.normal(size=(300, 16)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+
+    idx, d2 = find_nn(jnp.asarray(f), jnp.asarray(f))
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(300))
+
+    est, w = pose_estimation(
+        jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(f), jnp.asarray(f)
+    )
+    np.testing.assert_allclose(np.asarray(est), t, atol=1e-4)
