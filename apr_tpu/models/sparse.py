@@ -59,27 +59,40 @@ def offsets_grid(kernel_size: int) -> np.ndarray:
 
 
 def lookup_keys(level_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
-    """Index of each query key in the sorted level keys, or C if absent."""
+    """Index of each query key in the sorted level keys, or C if absent.
+
+    method='sort' lowers to one vectorized sort of keys+queries instead of a
+    per-query sequential binary-search loop — much faster on TPU for the
+    many-queries-few-keys shape of kernel-map construction.
+    """
     c = level_keys.shape[0]
-    slot = jnp.clip(jnp.searchsorted(level_keys, query_keys), 0, c - 1)
+    slot = jnp.clip(
+        jnp.searchsorted(level_keys, query_keys, method="sort"), 0, c - 1
+    )
     found = level_keys[slot] == query_keys
     return jnp.where(found, slot, c).astype(jnp.int32)
 
 
-def _query_offset(level: SparseLevel, query_coords, query_mask, off):
-    qk = pack_coords(query_coords + off[None, :])
+def _query_all_offsets(level: SparseLevel, query_coords, query_mask):
+    """Lookup [K, C, 3] query coords in one batched searchsorted.
+
+    One fused lookup over all kernel offsets beats K separate searches: the
+    'sort'-method searchsorted amortizes a single vectorized sort across the
+    whole K*C query set.
+    """
+    k, c = query_coords.shape[0], query_coords.shape[1]
+    qk = pack_coords(query_coords)                      # [K, C]
     qk = jnp.where(query_mask, qk, INVALID_KEY)
-    idx = lookup_keys(level.keys, qk)
+    idx = lookup_keys(level.keys, qk.reshape(-1)).reshape(k, c)
     # a query for INVALID_KEY must never match padding keys
     return jnp.where(query_mask, idx, level.keys.shape[0])
 
 
 def kernel_map_same(level: SparseLevel, kernel_size: int = 3) -> jnp.ndarray:
     """[C, k^3] neighbor table for a same-level conv (sentinel = C)."""
-    offs = jnp.asarray(offsets_grid(kernel_size))
-    maps = jax.vmap(
-        lambda off: _query_offset(level, level.coords, level.mask, off)
-    )(offs)
+    offs = jnp.asarray(offsets_grid(kernel_size))       # [K, 3]
+    q = level.coords[None, :, :] + offs[:, None, :]     # [K, C, 3]
+    maps = _query_all_offsets(level, q, level.mask[None, :])
     return maps.T  # [C, k^3]
 
 
@@ -89,9 +102,8 @@ def kernel_map_down(
     """[C_coarse, k^3] table of fine-level inputs for a stride-2 conv."""
     offs = jnp.asarray(offsets_grid(kernel_size))
     base = coarse.coords * 2
-    maps = jax.vmap(
-        lambda off: _query_offset(fine, base, coarse.mask, off)
-    )(offs)
+    q = base[None, :, :] + offs[:, None, :]
+    maps = _query_all_offsets(fine, q, coarse.mask[None, :])
     return maps.T
 
 
@@ -107,15 +119,11 @@ def kernel_map_up(
     """
     offs = jnp.asarray(offsets_grid(kernel_size))
     cc = coarse.keys.shape[0]
-
-    def one(off):
-        shifted = fine.coords - off[None, :]
-        even = jnp.all((shifted & 1) == 0, axis=-1)
-        cand = shifted >> 1
-        idx = _query_offset(coarse, cand, fine.mask & even, jnp.zeros(3, jnp.int32))
-        return jnp.where(even, idx, cc)
-
-    maps = jax.vmap(one)(offs)
+    shifted = fine.coords[None, :, :] - offs[:, None, :]   # [K, Cf, 3]
+    even = jnp.all((shifted & 1) == 0, axis=-1)            # [K, Cf]
+    cand = shifted >> 1
+    maps = _query_all_offsets(coarse, cand, fine.mask[None, :] & even)
+    maps = jnp.where(even, maps, cc)
     return maps.T
 
 

@@ -28,7 +28,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from apr_tpu.geometry.kabsch import kabsch
+from apr_tpu.geometry.kabsch import kabsch, kabsch_fast
 from apr_tpu.geometry.se3 import apply_transform
 
 
@@ -95,6 +95,11 @@ def ransac_pose(
     thr2 = distance_threshold * distance_threshold
     cw = corr_mask.astype(src_xyz.dtype)
 
+    # per-coordinate planes: [h, M, 3] intermediates pad the 3-lane dim 42x
+    # under TPU (8,128) tiling; [h, M] planes tile perfectly
+    sx, sy, sz = src_xyz[:, 0], src_xyz[:, 1], src_xyz[:, 2]
+    tx_, ty_, tz_ = tgt_xyz[:, 0], tgt_xyz[:, 1], tgt_xyz[:, 2]
+
     def eval_chunk(sample_chunk):
         s = src_xyz[sample_chunk]  # [h, n, 3]
         t = tgt_xyz[sample_chunk]
@@ -102,14 +107,22 @@ def ransac_pose(
         edge_ok = jax.vmap(_edge_length_ok, in_axes=(0, 0, None))(
             s, t, edge_length_similarity
         )
-        transforms = jax.vmap(kabsch)(s, t)  # [h, 4, 4]
+        # Newton-polar fit: vmapped 3x3 SVD is pathologically slow on TPU.
+        # Reflective (det<0) solutions from degenerate samples are gated out.
+        transforms = jax.vmap(kabsch_fast)(s, t)  # [h, 4, 4]
+        proper = jnp.linalg.det(transforms[:, :3, :3]) > 0.5
 
-        # score against all correspondences
-        warped = jnp.einsum(
-            "hij,mj->hmi", transforms[:, :3, :3], src_xyz,
-            precision=jax.lax.Precision.HIGHEST,
-        ) + transforms[:, None, :3, 3]
-        d2 = jnp.sum((warped - tgt_xyz[None]) ** 2, axis=-1)  # [h, M]
+        # score against all correspondences, plane-wise
+        r = transforms[:, :3, :3]
+        tr = transforms[:, :3, 3]
+        wx = (r[:, 0, 0, None] * sx[None] + r[:, 0, 1, None] * sy[None]
+              + r[:, 0, 2, None] * sz[None] + tr[:, 0, None])
+        wy = (r[:, 1, 0, None] * sx[None] + r[:, 1, 1, None] * sy[None]
+              + r[:, 1, 2, None] * sz[None] + tr[:, 1, None])
+        wz = (r[:, 2, 0, None] * sx[None] + r[:, 2, 1, None] * sy[None]
+              + r[:, 2, 2, None] * sz[None] + tr[:, 2, None])
+        d2 = ((wx - tx_[None]) ** 2 + (wy - ty_[None]) ** 2
+              + (wz - tz_[None]) ** 2)  # [h, M]
         inl = (d2 <= thr2) & corr_mask[None, :]
         n_inl = jnp.sum(inl, axis=1)
         rmse = jnp.sqrt(
@@ -119,7 +132,7 @@ def ransac_pose(
         # distance-checker on the sampled tuple: all n points inliers
         samp_d2 = jax.vmap(lambda idx, dd: dd[idx])(sample_chunk, d2)
         dist_ok = jnp.all(samp_d2 <= thr2, axis=1)
-        ok = edge_ok & dist_ok
+        ok = edge_ok & dist_ok & proper
         n_inl = jnp.where(ok, n_inl, 0)
         score = n_inl.astype(jnp.float32) - rmse / (rmse + 1.0)
         best = jnp.argmax(score)
