@@ -10,7 +10,7 @@ RTE < 2 m); rot/trans mean/median/std on successes; results saved to npz.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Iterable, Optional
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

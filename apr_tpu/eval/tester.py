@@ -17,8 +17,7 @@ from __future__ import annotations
 import logging
 import time
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,7 @@ from apr_tpu.registration.matching import feature_nn_correspondences
 from apr_tpu.registration.metrics import registration_errors
 from apr_tpu.registration.ransac import ransac_pose
 from apr_tpu.training.batching import make_pair_batch
-from apr_tpu.utils.timer import AverageMeter, Timer
+from apr_tpu.utils.timer import Timer
 
 log = logging.getLogger(__name__)
 
@@ -81,7 +80,6 @@ class FeatureTester:
         c = self.config
         thresh = c.test_ransac_dist_thresh or c.voxel_size
 
-        @jax.jit
         def eval_one(params, batch_stats, f0, f1, xyz0, xyz1, m0, m1, t_gt,
                      key):
             # random 5000-point subsample of valid voxels (test_apr.py:142),
@@ -111,6 +109,7 @@ class FeatureTester:
 
         self._eval_one = eval_one
 
+        @jax.jit
         def step(params, batch_stats, batch, key):
             f0, _ = self.trainer._encode(params, batch_stats, batch.feats0,
                                          batch.pyramid0, False)
