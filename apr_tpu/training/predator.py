@@ -123,9 +123,24 @@ class PredatorTrainer:
             condition_feature=c.condition_feature,
             add_cross_score=c.add_cross_score,
         )
-        self.generator = make_generative_mlp(
-            c.generator_model, out_points=c.point_generation_ratio,
-        )
+        self.symmetric = bool(c.symmetric)
+        if self.symmetric:
+            # symmetric NPR (architectures.py:215-340): a second KPConv U-Net
+            # over the same pyramid consuming the encoder output features
+            from apr_tpu.models.kpfcnn import KPFCNNDecoder
+
+            self.generator = KPFCNNDecoder(
+                point_generation_ratio=c.point_generation_ratio,
+                first_feats_dim=c.first_feats_dim,
+                first_subsampling_dl=c.first_subsampling_dl,
+                conv_radius=c.conv_radius,
+                kp_extent=c.KP_extent,
+                num_kernel_points=c.num_kernel_points,
+            )
+        else:
+            self.generator = make_generative_mlp(
+                c.generator_model, out_points=c.point_generation_ratio,
+            )
         self.tx = self._make_optimizer()
 
     def _make_optimizer(self):
@@ -157,10 +172,15 @@ class PredatorTrainer:
         # jit the init (eager flax init = hundreds of per-op TPU compiles)
         mv = jax.jit(self.model.init)(k_m, batch.pyr0, batch.pyr1)
         n0 = batch.pyr0.levels[0].points.shape[0]
-        gv = jax.jit(
-            lambda k, f, m: self.generator.init(k, f, m, train=False)
-        )(k_g, jnp.zeros((n0, self.config.final_feats_dim)),
-          jnp.ones((n0,), bool))
+        f_dummy = jnp.zeros((n0, self.config.final_feats_dim))
+        if self.symmetric:
+            gv = jax.jit(
+                lambda k, f, p: self.generator.init(k, f, p)
+            )(k_g, f_dummy, batch.pyr0)
+        else:
+            gv = jax.jit(
+                lambda k, f, m: self.generator.init(k, f, m, train=False)
+            )(k_g, f_dummy, jnp.ones((n0,), bool))
         params = {"model": mv["params"], "generator": gv["params"]}
         batch_stats = {
             "model": mv.get("batch_stats", {}),
@@ -199,9 +219,13 @@ class PredatorTrainer:
         )
 
         # generative branch: offsets anchored on metric points, no voxel scale
-        def gen_branch(feats, anchors, mask, apc, apc_mask, gstats):
+        def gen_branch(feats, anchors, mask, apc, apc_mask, gstats, pyr):
             variables = {"params": params["generator"], "batch_stats": gstats}
-            if train:
+            if self.symmetric:
+                mo = self.generator.apply(
+                    {"params": params["generator"]}, feats, pyr
+                )
+            elif train:
                 mo, upd = self.generator.apply(
                     variables, feats, mask, train=True, mutable=["batch_stats"]
                 )
@@ -223,9 +247,10 @@ class PredatorTrainer:
 
         g0, cd0, reg0, gstats = gen_branch(
             out.feats0, src, m0, batch.apc0, batch.apc0_mask,
-            batch_stats["generator"])
+            batch_stats["generator"], batch.pyr0)
         g1, cd1, reg1, gstats = gen_branch(
-            out.feats1, tgt, m1, batch.apc1, batch.apc1_mask, gstats)
+            out.feats1, tgt, m1, batch.apc1, batch.apc1_mask, gstats,
+            batch.pyr1)
 
         loss = (
             stats["circle_loss"] * c.w_circle_loss

@@ -100,7 +100,20 @@ class FCGFTrainer:
             bn_momentum=config.bn_momentum,
         )
         self.generative = config.trainer == "GenerativePairTrainer"
-        if self.generative:
+        self.symmetric = bool(config.symmetric) and self.generative
+        if self.symmetric:
+            # symmetric NPR mode (complement_trainer.py:52-60, 413-419): the
+            # decoder is a SECOND ResUNet over the same voxel pyramid whose
+            # final head emits point_generation_ratio*3 offset channels
+            self.generator = make_resunet(
+                config.generator_model,
+                in_channels=config.model_n_out,
+                out_channels=config.point_generation_ratio * 3,
+                normalize_feature=False,
+                conv1_kernel_size=config.conv1_kernel_size,
+                bn_momentum=config.bn_momentum,
+            )
+        elif self.generative:
             self.generator = make_generative_mlp(
                 config.generator_model,
                 out_points=config.point_generation_ratio,
@@ -158,7 +171,15 @@ class FCGFTrainer:
         )(k_enc, sample_batch.feats0, sample_batch.pyramid0)
         params = {"encoder": enc_vars["params"]}
         batch_stats = {"encoder": enc_vars.get("batch_stats", {})}
-        if self.generative:
+        if self.symmetric:
+            b, c0 = sample_batch.feats0.shape[:2]
+            f_dummy = jnp.zeros((b, c0, self.config.model_n_out), jnp.float32)
+            gen_vars = jax.jit(
+                lambda k, f, p: self.generator.init(k, f, p, train=False)
+            )(k_gen, f_dummy, sample_batch.pyramid0)
+            params["generator"] = gen_vars["params"]
+            batch_stats["generator"] = gen_vars.get("batch_stats", {})
+        elif self.generative:
             f_dummy = jnp.zeros(
                 (1, 8, self.config.model_n_out), jnp.float32
             )
@@ -223,13 +244,17 @@ class FCGFTrainer:
         c = self.config
         mask = pyramid.levels[0].mask  # [B, C0]
         variables = {"params": params["generator"], "batch_stats": gen_stats}
+        # symmetric mode: the decoder is a ResUNet over (feats, pyramid);
+        # asymmetric: a per-point MLP over (feats, mask).  Both emit
+        # [B, C0, ratio*3] raw offsets.
+        gen_in = (feats, pyramid) if self.symmetric else (feats, mask)
         if train:
             mlp_out, upd = self.generator.apply(
-                variables, feats, mask, train=True, mutable=["batch_stats"]
+                variables, *gen_in, train=True, mutable=["batch_stats"]
             )
             new_stats = upd["batch_stats"]
         else:
-            mlp_out = self.generator.apply(variables, feats, mask, train=False)
+            mlp_out = self.generator.apply(variables, *gen_in, train=False)
             new_stats = gen_stats
 
         anchors = pyramid.levels[0].coords.astype(jnp.float32) * c.voxel_size

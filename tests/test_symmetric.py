@@ -1,0 +1,142 @@
+"""Symmetric NPR decoder wiring, both stacks.
+
+Reference behavior: with symmetric=True the generative decoder is not a
+per-point MLP but a SECOND full encoder-shaped network over the same point
+pyramid — FCGF: a ResUNet with point_generation_ratio*3 output channels
+(FCGF_APR/lib/complement_trainer.py:52-60, 413-419); Predator: KPFCNNDecoder
+(Predator_APR/models/architectures.py:215-340).  The shipped nuScenes APR
+recipe requires symmetric=True (train_apr_nuscenes.sh).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apr_tpu.config import APRConfig
+from apr_tpu.data.synthetic import pad_points, synthetic_pair
+from apr_tpu.training import get_trainer, make_pair_batch
+from apr_tpu.training.predator import PredatorTrainer, make_kp_pair_batch
+
+FCGF_CFG = APRConfig(
+    trainer="GenerativePairTrainer",
+    model="ResUNetBN2",
+    model_n_out=16,
+    conv1_kernel_size=3,
+    symmetric=True,
+    generator_model="ResUNetBN2B",
+    point_generation_ratio=2,
+    batch_size=1,
+    num_pos_per_batch=64,
+    num_hn_samples_per_batch=32,
+    voxel_size=1.0,
+    point_capacity=1536,
+    capacities=(768, 384, 192, 96),
+    apc_capacity=1536,
+    lr=0.05,
+)
+
+
+def _fcgf_batch(cfg, seeds=(0,)):
+    cols = [[] for _ in range(9)]
+    for s in seeds:
+        d = synthetic_pair(s, n_points=1400, apc_points=1400, distance=8.0,
+                           extent=30.0)
+        p0, m0 = pad_points(d["points0"], cfg.point_capacity)
+        p1, m1 = pad_points(d["points1"], cfg.point_capacity)
+        a0, am0 = pad_points(d["apc0"], cfg.apc_capacity)
+        a1, am1 = pad_points(d["apc1"], cfg.apc_capacity)
+        for col, v in zip(cols, (p0, m0, p1, m1, a0, am0, a1, am1, d["t_gt"])):
+            col.append(v)
+    arrs = [jnp.asarray(np.stack(c)) for c in cols]
+    return make_pair_batch(
+        *arrs,
+        voxel_size=cfg.voxel_size,
+        capacities=cfg.capacities,
+        conv1_kernel_size=cfg.conv1_kernel_size,
+        corr_cap=cfg.corr_capacity_per_point,
+        search_multiplier=cfg.positive_pair_search_voxel_size_multiplier,
+    )
+
+
+def test_fcgf_symmetric_decoder_trains():
+    trainer = get_trainer(FCGF_CFG)
+    assert trainer.symmetric
+    # the generator is a ResUNet with ratio*3 output channels, not an MLP
+    assert trainer.generator.out_channels == 2 * 3
+    batch = _fcgf_batch(FCGF_CFG)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    # generator params hold sparse-conv kernels (ResUNet), not MLP denses
+    assert "conv1" in state.params["generator"]
+
+    key = jax.random.PRNGKey(1)
+    chamfers = []
+    for _ in range(6):
+        key, k = jax.random.split(key)
+        state, m = trainer.train_step(state, batch, k)
+        assert np.isfinite(float(m["loss"])), m
+        chamfers.append(float(m["chamfer_loss"]))
+    assert chamfers[-1] < chamfers[0], chamfers
+
+
+PRED_CFG = APRConfig(
+    trainer="PredatorTrainer",
+    final_feats_dim=16,
+    first_feats_dim=32,
+    gnn_feats_dim=32,
+    symmetric=True,
+    point_generation_ratio=2,
+    first_subsampling_dl=1.0,
+    conv_radius=2.5,
+    kp_capacities=(768, 384, 192, 96),
+    neighborhood_limits=(16, 16, 16, 16),
+    point_capacity=2048,
+    apc_capacity=1536,
+    pos_radius=1.0,
+    safe_radius=2.5,
+    overlap_radius=1.2,
+    matchability_radius=1.2,
+    max_points=128,
+    optimizer="SGD",
+    lr=0.01,
+    sgd_momentum=0.98,
+)
+
+
+def _pred_batch(cfg, seed=0):
+    d = synthetic_pair(seed, n_points=1800, apc_points=1400, distance=8.0,
+                       extent=30.0)
+    p0, m0 = pad_points(d["points0"], cfg.point_capacity)
+    p1, m1 = pad_points(d["points1"], cfg.point_capacity)
+    a0, am0 = pad_points(d["apc0"], cfg.apc_capacity)
+    a1, am1 = pad_points(d["apc1"], cfg.apc_capacity)
+    return make_kp_pair_batch(
+        jnp.asarray(p0), jnp.asarray(m0), jnp.asarray(p1), jnp.asarray(m1),
+        jnp.asarray(a0), jnp.asarray(am0), jnp.asarray(a1), jnp.asarray(am1),
+        jnp.asarray(d["t_gt"]),
+        first_subsampling_dl=cfg.first_subsampling_dl,
+        conv_radius=cfg.conv_radius,
+        capacities=cfg.kp_capacities,
+        neighbor_limits=cfg.neighborhood_limits,
+        overlap_radius=cfg.overlap_radius,
+    )
+
+
+def test_predator_symmetric_decoder_trains():
+    trainer = PredatorTrainer(PRED_CFG)
+    assert trainer.symmetric
+    from apr_tpu.models.kpfcnn import KPFCNNDecoder
+
+    assert isinstance(trainer.generator, KPFCNNDecoder)
+    batch = _pred_batch(PRED_CFG)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    key = jax.random.PRNGKey(1)
+    chamfers = []
+    w_sal = jnp.asarray(0.0)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        state, m = trainer.train_step(state, batch, k, w_sal)
+        assert np.isfinite(float(m["loss"])), m
+        chamfers.append(float(m["chamfer_loss"]))
+    assert chamfers[-1] < chamfers[0], chamfers
