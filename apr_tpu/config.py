@@ -110,6 +110,7 @@ class APRConfig:
     # --- data / APG ---
     dataset: str = "PairComplementKittiDataset"
     kitti_root: str = "./data/kitti"
+    kitti_max_time_diff: int = 3  # baseline KITTIPairDataset dt range
     voxel_size: float = 0.3
     pair_min_dist: float = 5.0
     pair_max_dist: float = 20.0
@@ -122,6 +123,12 @@ class APRConfig:
     random_scale: bool = True
     random_rotation: bool = True
     mutate_neighbour_percentage: float = 0.0
+    # Predator-flavor D3Feat augmentation (Predator_APR/datasets/
+    # kitti.py:494-517): per-cloud noise + one-sided rotation + scale +
+    # per-cloud shift, replacing the FCGF-style rotation/scale when true
+    d3feat_augmentation: bool = False
+    augment_noise: float = 0.01
+    augment_shift_range: float = 2.0
     LoKITTI: bool = False
     LoNUSCENES: bool = False
     downsample_single: float = 1.0

@@ -81,11 +81,20 @@ def make_dataset(config: APRConfig, phase: str) -> PairDataset:
             seed=config.seed,
             phase=phase,
         )
-    if name in ("PairComplementKittiDataset", "KITTINMPairDataset",
-                "KITTIPairDataset", "KITTIRandDistPairDataset"):
+    if name == "PairComplementKittiDataset":
         from apr_tpu.data.kitti import KittiComplementDataset
 
         return KittiComplementDataset(config, phase)
+    if name in ("KITTIPairDataset", "KITTINMPairDataset",
+                "KITTIRandDistPairDataset"):
+        # distinct baseline pairings (reference data_loaders.py:284-700),
+        # NOT the APG complement walk
+        from apr_tpu.data.kitti import KittiBaselinePairDataset
+
+        mode = {"KITTIPairDataset": "time_diff",
+                "KITTINMPairDataset": "nm",
+                "KITTIRandDistPairDataset": "rand_dist"}[name]
+        return KittiBaselinePairDataset(config, phase, mode)
     if name == "PairComplementNuscenesDataset":
         from apr_tpu.data.nuscenes import NuscenesComplementDataset
 

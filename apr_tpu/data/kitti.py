@@ -346,6 +346,21 @@ class KittiComplementDataset(PairDataset):
         apc0 = assemble_apc(t0, pos0, cmpl0, xyz0)
         apc1 = assemble_apc(t1, pos1, cmpl1, xyz1)
 
+        if c.d3feat_augmentation and self.phase == "train":
+            # Predator flavor (kitti.py:494-517) replaces the FCGF-style
+            # rotation/scale below
+            return d3feat_augment(
+                dict(points0=xyz0.astype(np.float32),
+                     points1=xyz1.astype(np.float32),
+                     apc0=apc0.astype(np.float32),
+                     apc1=apc1.astype(np.float32),
+                     t_gt=trans.astype(np.float32),
+                     meta=np.asarray([drive, t0, t1])),
+                self.rng, noise=c.augment_noise,
+                shift_range=c.augment_shift_range,
+                scale_min=c.min_scale, scale_max=c.max_scale,
+            )
+
         # random rotation + re-centering (test_augmentation hard-coded True
         # for KITTI, :139 + :600-614).  NOTE reference quirk preserved: the
         # helper expects a range in DEGREES but is passed np.pi*2, so the
@@ -385,6 +400,202 @@ class KittiComplementDataset(PairDataset):
             points1=xyz1.astype(np.float32),
             apc0=apc0.astype(np.float32),
             apc1=apc1.astype(np.float32),
+            t_gt=trans.astype(np.float32),
+            meta=np.asarray([drive, t0, t1]),
+        )
+
+
+def d3feat_augment(pair: Dict[str, np.ndarray], rng,
+                   noise: float = 0.01, shift_range: float = 2.0,
+                   scale_min: float = 0.8, scale_max: float = 1.2
+                   ) -> Dict[str, np.ndarray]:
+    """D3Feat-style augmentation of the Predator KITTI flavor
+    (Predator_APR/datasets/kitti.py:494-517): per-cloud uniform noise, a
+    random zyx-Euler rotation applied to ONE side (coin flip), a global
+    scale, and a per-cloud shift in [-shift_range, shift_range]^3.
+
+    Deviation from the reference, documented: the reference feeds the
+    augmented clouds to the network but keeps GT/losses in the raw frame
+    (it returns both copies); here one buffer serves both, so every
+    component is folded into t_gt consistently — the same invariance
+    pressure without duplicate buffers.
+    """
+    from scipy.spatial.transform import Rotation
+
+    p0 = pair["points0"] + (rng.rand(*pair["points0"].shape) - 0.5) * noise
+    p1 = pair["points1"] + (rng.rand(*pair["points1"].shape) - 0.5) * noise
+    apc0, apc1 = pair["apc0"], pair["apc1"]
+    trans = pair["t_gt"].copy()
+
+    rot = Rotation.from_euler("zyx", rng.rand(3) * np.pi * 2).as_matrix()
+    r4 = np.eye(4)
+    r4[:3, :3] = rot
+    if rng.rand() > 0.5:
+        p0 = p0 @ rot.T
+        apc0 = apc0 @ rot.T
+        trans = trans @ np.linalg.inv(r4)
+    else:
+        p1 = p1 @ rot.T
+        apc1 = apc1 @ rot.T
+        trans = r4 @ trans
+
+    scale = scale_min + (scale_max - scale_min) * rng.rand()
+    p0, p1, apc0, apc1 = p0 * scale, p1 * scale, apc0 * scale, apc1 * scale
+    trans[:3, 3] *= scale
+
+    shift0 = rng.uniform(-shift_range, shift_range, 3)
+    shift1 = rng.uniform(-shift_range, shift_range, 3)
+    p0, apc0 = p0 + shift0, apc0 + shift0
+    p1, apc1 = p1 + shift1, apc1 + shift1
+    # src' = src + a, tgt' = tgt + b  =>  trans' = T(b) @ trans @ T(-a)
+    trans[:3, 3] = trans[:3, 3] + shift1 - trans[:3, :3] @ shift0
+
+    return dict(
+        pair,
+        points0=p0.astype(np.float32),
+        points1=p1.astype(np.float32),
+        apc0=apc0.astype(np.float32),
+        apc1=apc1.astype(np.float32),
+        t_gt=trans.astype(np.float32),
+    )
+
+
+class KittiBaselinePairDataset(PairDataset):
+    """The three baseline (non-APG) FCGF pairings over KITTI odometry
+    (FCGF_APR/lib/data_loaders.py:284-700), selected by ``mode``:
+
+    - ``time_diff`` (KITTIPairDataset): every (t, t+dt) with
+      dt in [2, kitti_max_time_diff) that exists on disk (:319-327);
+    - ``nm`` (KITTINMPairDataset): sequence walk pairing each frame with the
+      first frame >10 m away within the next 100 frames (next[0]+curr-1 index
+      quirk preserved, :575-592), minus the problematic (8, 15, 58) pair;
+    - ``rand_dist`` (KITTIRandDistPairDataset): walk with per-step target
+      distance U(5, 45) and window int(dist*10) (:667-694).
+
+    GT transforms come from the odometry velo2cam chain, refined by the ICP
+    cache ``{root}/icp/{drive}_{t0}_{t1}.npy`` when present (the reference
+    computes these lazily in __getitem__, :447-470; here
+    tools/prepare_icp_cache.py produces them offline).  Baseline items carry
+    no APC (the generative branch is APR-only); rotation augmentation uses
+    the baseline's pi/4 range (:477 — with the same degrees/radians quirk as
+    the complement path).
+    """
+
+    MODES = ("time_diff", "nm", "rand_dist")
+
+    def __init__(self, config: APRConfig, phase: str, mode: str,
+                 splits: Optional[Dict[str, List[int]]] = None):
+        assert mode in self.MODES, mode
+        self.config = config
+        self.phase = phase
+        self.mode = mode
+        self.root = config.kitti_root
+        self.rng = np.random.RandomState(config.seed)
+        self.icp_path = os.path.join(self.root, "icp")
+        # reference baselines disable rotation augmentation at test time
+        # (TEST_RANDOM_ROTATION = False, data_loaders.py:291)
+        self.random_rotation = config.random_rotation and phase != "test"
+        self.drives = (splits or DEFAULT_SPLITS)[phase]
+        self.poses: Dict[int, np.ndarray] = {}
+        self.files: List[Tuple[int, int, int]] = []
+        self._prepare()
+
+    _seq_dir = KittiComplementDataset._seq_dir
+    _velodyne_fn = KittiComplementDataset._velodyne_fn
+    _frame_ids = KittiComplementDataset._frame_ids
+    _get_xyz = KittiComplementDataset._get_xyz
+
+    def _get_poses(self, drive: int) -> np.ndarray:
+        if drive not in self.poses:
+            self.poses[drive] = load_odometry_poses(self.root, drive)
+        return self.poses[drive]
+
+    def _prepare(self):
+        c = self.config
+        np.random.seed(0)
+        for drive in self.drives:
+            inames = self._frame_ids(drive)
+            if not inames:
+                log.warning("no frames for drive %02d under %s", drive,
+                            self.root)
+                continue
+            iset = set(inames)
+            if self.mode == "time_diff":
+                for t in inames:
+                    for dt in range(2, c.kitti_max_time_diff):
+                        if t + dt in iset:
+                            self.files.append((drive, t, t + dt))
+                continue
+            ts = self._get_poses(drive)[:, :3, 3]
+            curr = inames[0]
+            while curr in iset:
+                if self.mode == "nm":
+                    need, window = 10.0, 100
+                else:
+                    need = 5.0 + np.random.rand() * 40.0
+                    window = int(need * 10)
+                d = np.linalg.norm(ts[curr:curr + window] - ts[curr], axis=1)
+                beyond = np.where(d > need)[0]
+                if len(beyond) == 0:
+                    curr += 1
+                    continue
+                nxt = beyond[0] + curr - 1
+                if nxt in iset:
+                    self.files.append((drive, curr, nxt))
+                    curr = nxt + 1
+                else:
+                    curr += 1
+        if self.mode == "nm" and (8, 15, 58) in self.files:
+            self.files.remove((8, 15, 58))
+        log.info("KITTI baseline (%s) %s: %d pairs", self.mode, self.phase,
+                 len(self.files))
+
+    def _gt_transform(self, drive: int, t0: int, t1: int) -> np.ndarray:
+        fn = os.path.join(self.icp_path, "%d_%d_%d.npy" % (drive, t0, t1))
+        if os.path.exists(fn):
+            return np.load(fn)
+        # unrefined odometry chain (the ICP cache's initialization, :455-456)
+        poses = self._get_poses(drive)
+        v2c = velo2cam_matrix()
+        m = (v2c @ poses[t0].T @ np.linalg.inv(poses[t1].T)
+             @ np.linalg.inv(v2c)).T
+        if not getattr(self, "_warned_icp", False):
+            log.warning("ICP cache missing under %s; using unrefined "
+                        "odometry GT (run tools/prepare_icp_cache.py)",
+                        self.icp_path)
+            self._warned_icp = True
+        return m
+
+    def __len__(self):
+        return len(self.files)
+
+    def get_pair(self, index: int) -> Dict[str, np.ndarray]:
+        c = self.config
+        drive, t0, t1 = self.files[index]
+        xyz0 = self._get_xyz(drive, t0)
+        xyz1 = self._get_xyz(drive, t1)
+        trans = self._gt_transform(drive, t0, t1)
+
+        if self.random_rotation:
+            t0_aug = _sample_random_trans(xyz0, self.rng, np.pi / 4)
+            t1_aug = _sample_random_trans(xyz1, self.rng, np.pi / 4)
+            trans = t1_aug @ trans @ np.linalg.inv(t0_aug)
+            xyz0 = _apply(xyz0, t0_aug)
+            xyz1 = _apply(xyz1, t1_aug)
+
+        if c.random_scale and self.rng.rand() < 0.95 and self.phase == "train":
+            scale = c.min_scale + (c.max_scale - c.min_scale) * self.rng.rand()
+            xyz0 = scale * xyz0
+            xyz1 = scale * xyz1
+            trans = trans.copy()
+            trans[:3, 3] *= scale
+
+        empty = np.zeros((0, 3), np.float32)
+        return dict(
+            points0=xyz0.astype(np.float32),
+            points1=xyz1.astype(np.float32),
+            apc0=empty,
+            apc1=empty,
             t_gt=trans.astype(np.float32),
             meta=np.asarray([drive, t0, t1]),
         )

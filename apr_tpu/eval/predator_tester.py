@@ -10,7 +10,7 @@ RTE < 2 m); rot/trans mean/median/std on successes; results saved to npz.
 from __future__ import annotations
 
 import logging
-from typing import Iterable
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -119,6 +119,7 @@ class PredatorTester:
                 timer.tic()
             batch = self._pair_to_batch(pair)
             out = self._step(self.state.params, batch, k)
+            stats.pair_dist.append(float(np.linalg.norm(pair["t_gt"][:3, 3])))
             if pipelined:
                 results.append(out)
                 if i == 0:
@@ -162,12 +163,14 @@ class PredatorTester:
 
 def calibrate_neighbors(
     dataset, config: APRConfig, keep_ratio: float = 0.8,
-    samples_threshold: int = 2000, max_items: int = 50,
+    samples_threshold: int = 2000, max_items: Optional[int] = None,
 ):
     """Reference calibrate_neighbors parity (dataloader.py:200-232): histogram
-    per-layer neighbor counts over the dataset until enough samples, keep the
-    ``keep_ratio`` percentile as each layer's cap.  Host-side, run once before
-    training; result feeds APRConfig.neighborhood_limits."""
+    per-layer neighbor counts — over BOTH clouds of each pair, like the
+    reference's stacked batch — until every layer holds > samples_threshold
+    samples, keep the ``keep_ratio`` percentile as each layer's cap.
+    Host-side, run once before training; result feeds
+    APRConfig.neighborhood_limits."""
     from apr_tpu.ops.neighbors import radius_neighbors
     from apr_tpu.ops.voxelize import voxelize
 
@@ -175,23 +178,26 @@ def calibrate_neighbors(
     hist_n = int(np.ceil(4 / 3 * np.pi * (config.conv_radius + 1) ** 3))
     counts = np.zeros((num_levels, hist_n), np.int64)
 
-    for i in range(min(len(dataset), max_items)):
+    n_items = len(dataset) if max_items is None else min(len(dataset),
+                                                         max_items)
+    for i in range(n_items):
         pair = dataset.get_pair(i)
-        pts_np, mask_np = pad_points(pair["points0"], config.point_capacity)
-        pts, mask = jnp.asarray(pts_np), jnp.asarray(mask_np)
-        dl = config.first_subsampling_dl
-        r = dl * config.conv_radius
-        for l in range(num_levels):
-            grid = voxelize(pts, dl, config.kp_capacities[l], mask)
-            nb = radius_neighbors(
-                grid.barycenter, grid.barycenter, r, hist_n - 1,
-                q_mask=grid.mask, s_mask=grid.mask,
-            )
-            valid = np.asarray(grid.mask)
-            nnb = np.asarray((nb < grid.barycenter.shape[0]).sum(1))[valid]
-            counts[l] += np.bincount(nnb, minlength=hist_n)
-            dl *= 2
-            r *= 2
+        for cloud in ("points0", "points1"):
+            pts_np, mask_np = pad_points(pair[cloud], config.point_capacity)
+            pts, mask = jnp.asarray(pts_np), jnp.asarray(mask_np)
+            dl = config.first_subsampling_dl
+            r = dl * config.conv_radius
+            for l in range(num_levels):
+                grid = voxelize(pts, dl, config.kp_capacities[l], mask)
+                nb = radius_neighbors(
+                    grid.barycenter, grid.barycenter, r, hist_n - 1,
+                    q_mask=grid.mask, s_mask=grid.mask,
+                )
+                valid = np.asarray(grid.mask)
+                nnb = np.asarray((nb < grid.barycenter.shape[0]).sum(1))[valid]
+                counts[l] += np.bincount(nnb, minlength=hist_n)
+                dl *= 2
+                r *= 2
         if counts.sum(axis=1).min() > samples_threshold:
             break
 

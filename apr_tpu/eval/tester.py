@@ -41,6 +41,7 @@ class TestStats:
     success: List[bool] = field(default_factory=list)
     fitness: List[float] = field(default_factory=list)
     sec_per_pair: List[float] = field(default_factory=list)
+    pair_dist: List[float] = field(default_factory=list)  # GT frame distance
 
     def summary(self) -> Dict[str, float]:
         rte = np.asarray(self.rte)
@@ -62,6 +63,28 @@ class TestStats:
                 rre_std=float(rre[succ].std()),
             )
         return out
+
+    def save(self, out_dir: str) -> None:
+        """Eval artifacts (reference Predator_APR/lib/tester.py:110-126):
+        ``results.npz`` with the raw per-pair arrays plus
+        ``success_dists.npy`` / ``fail_dists.npy`` — the GT pair distances of
+        succeeded / failed registrations."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        succ = np.asarray(self.success, dtype=bool)
+        dists = np.asarray(self.pair_dist, dtype=np.float32)
+        np.savez(
+            os.path.join(out_dir, "results.npz"),
+            rte=np.asarray(self.rte, np.float32),
+            rre=np.asarray(self.rre, np.float32),
+            success=succ,
+            fitness=np.asarray(self.fitness, np.float32),
+            pair_dist=dists,
+        )
+        if len(dists) == len(succ):
+            np.save(os.path.join(out_dir, "success_dists.npy"), dists[succ])
+            np.save(os.path.join(out_dir, "fail_dists.npy"), dists[~succ])
 
 
 class FeatureTester:
@@ -195,6 +218,8 @@ class FeatureTester:
                 stats.rre.append(e)
                 stats.success.append(r < c.rte_thresh and e < c.rre_thresh)
                 stats.fitness.append(float(fitness[i]))
+                stats.pair_dist.append(
+                    float(np.linalg.norm(group[i]["t_gt"][:3, 3])))
         if t0 is not None and n_timed:
             per = (_time.time() - t0) / n_timed
             stats.sec_per_pair.extend([per] * n_timed)
@@ -245,6 +270,8 @@ class FeatureTester:
                 out = self._step(
                     self.state.params, self.state.batch_stats, batch, k
                 )
+                stats.pair_dist.append(
+                    float(np.linalg.norm(pair["t_gt"][:3, 3])))
                 results.append(out)
                 if i == 0:
                     # first pair pays compilation; sync then start the clock
@@ -275,6 +302,7 @@ class FeatureTester:
             t_est, rte, rre, fitness = self._step(
                 self.state.params, self.state.batch_stats, batch, k
             )
+            stats.pair_dist.append(float(np.linalg.norm(pair["t_gt"][:3, 3])))
             rte = float(rte)
             rre = float(rre) if np.isfinite(float(rre)) else 180.0
             dt = timer.toc(average=False)

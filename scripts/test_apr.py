@@ -63,6 +63,7 @@ def main(argv=None):
     tester.state = state
 
     stats = tester.test(pairs)
+    stats.save(args.save_dir)  # results.npz + success/fail distance arrays
     s = stats.summary()
     logging.info("==== %d pairs ====", s["n_pairs"])
     logging.info("registration recall: %.4f", s["recall"])

@@ -58,13 +58,18 @@ def main(argv=None):
     batch = tester._pair_to_batch(ds.get_pair(0))
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
     mngr = CheckpointManager(args.save_dir)
-    # best-val checkpoint = the snapshot tagged best (falls back to latest)
-    state, meta = mngr.restore_weights_only(state)
+    # best-val checkpoint (reference test_fcgf.py loads
+    # best_val_checkpoint.pth); falls back to the latest rolling snapshot
+    try:
+        state, meta = mngr.restore_weights_only(state, tag="best")
+    except FileNotFoundError:
+        state, meta = mngr.restore_weights_only(state)
     logging.info("loaded checkpoint at epoch %s (best_val=%s)",
                  meta.get("epoch"), meta.get("best_val"))
     tester.state = state
 
     stats = tester.test(pairs)
+    stats.save(args.save_dir)  # results.npz + success/fail distance arrays
     s = stats.summary()
     logging.info("registration recall %.4f over %d pairs (%.2f pairs/s)",
                  s["recall"], s["n_pairs"], s["pairs_per_sec"])

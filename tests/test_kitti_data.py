@@ -43,6 +43,11 @@ def fake_kitti(tmp_path_factory):
         with open(seq / "poses.txt", "w") as f:
             for p in poses:
                 f.write(" ".join(str(v) for v in p) + "\n")
+        # odometry-pose layout for the baseline (non-APG) datasets
+        (root / "poses").mkdir(exist_ok=True)
+        with open(root / "poses" / ("%02d.txt" % drive), "w") as f:
+            for p in poses:
+                f.write(" ".join(str(v) for v in p) + "\n")
     return str(root)
 
 
@@ -132,6 +137,109 @@ def test_dataset_test_phase_no_neighbourhood(fake_kitti):
     np.testing.assert_allclose(
         np.linalg.norm(pair["t_gt"][:3, 3]), d, rtol=0.01
     )
+
+
+def test_baseline_time_diff_pairs(fake_kitti):
+    from apr_tpu.data.kitti import KittiBaselinePairDataset
+
+    cfg = _cfg(fake_kitti).replace(kitti_max_time_diff=4)
+    ds = KittiBaselinePairDataset(cfg, "train", "time_diff",
+                                  splits={"train": [0]})
+    # every (t, t+2) and (t, t+3) that exists: 58 + 57 pairs over 60 frames
+    assert len(ds) == 58 + 57
+    dts = {t1 - t0 for _, t0, t1 in ds.files}
+    assert dts == {2, 3}
+    pair = ds.get_pair(0)
+    assert pair["apc0"].shape[0] == 0  # baselines carry no APC
+    r = pair["t_gt"][:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+
+
+def test_baseline_nm_pairs(fake_kitti):
+    from apr_tpu.data.kitti import KittiBaselinePairDataset
+
+    cfg = _cfg(fake_kitti).replace(random_rotation=False, random_scale=False)
+    ds = KittiBaselinePairDataset(cfg, "test", "nm", splits={"test": [0]})
+    assert len(ds) > 0
+    for _, t0, t1 in ds.files:
+        # straight line at 2 m/frame: >10 m means dt >= 6; the reference's
+        # next[0]+curr-1 index quirk makes the selected frame dt-1 away
+        assert (t1 - t0) >= 4
+    pair = ds.get_pair(0)
+    # unrefined odometry GT on exact poses: translation = frame distance
+    _, t0, t1 = ds.files[0]
+    np.testing.assert_allclose(
+        np.linalg.norm(pair["t_gt"][:3, 3]), 2.0 * (t1 - t0), rtol=0.01)
+
+
+def test_baseline_rand_dist_pairs(fake_kitti):
+    from apr_tpu.data.kitti import KittiBaselinePairDataset
+
+    cfg = _cfg(fake_kitti)
+    a = KittiBaselinePairDataset(cfg, "train", "rand_dist",
+                                 splits={"train": [0]})
+    b = KittiBaselinePairDataset(cfg, "train", "rand_dist",
+                                 splits={"train": [0]})
+    assert a.files == b.files  # np.random.seed(0) determinism
+    assert len(a) > 0
+
+
+def test_baseline_factory_dispatch(fake_kitti):
+    from apr_tpu.data.datasets import make_dataset
+    from apr_tpu.data.kitti import KittiBaselinePairDataset, DEFAULT_SPLITS
+
+    cfg = _cfg(fake_kitti).replace(dataset="KITTINMPairDataset")
+    old = DEFAULT_SPLITS["train"]
+    DEFAULT_SPLITS["train"] = [0]
+    try:
+        ds = make_dataset(cfg, "train")
+    finally:
+        DEFAULT_SPLITS["train"] = old
+    assert isinstance(ds, KittiBaselinePairDataset)
+    assert ds.mode == "nm"
+
+
+def test_d3feat_augment_gt_consistent():
+    """After the one-sided rotation / scale / shifts, the updated t_gt must
+    still map points0 onto their true counterparts."""
+    from apr_tpu.data.kitti import d3feat_augment
+
+    rng0 = np.random.RandomState(3)
+    pts = rng0.uniform(-40, 40, (500, 3)).astype(np.float32)
+    # a known rigid GT: points1 = R @ points0 + t
+    from scipy.spatial.transform import Rotation
+
+    r = Rotation.from_euler("zyx", [0.3, -0.2, 0.5]).as_matrix()
+    t = np.array([4.0, -2.0, 0.5])
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r
+    t_gt[:3, 3] = t
+    pair = dict(
+        points0=pts,
+        points1=(pts @ r.T + t).astype(np.float32),
+        apc0=pts[:100].copy(),
+        apc1=(pts[:100] @ r.T + t).astype(np.float32),
+        t_gt=t_gt,
+        meta=np.zeros(3),
+    )
+    for seed in range(4):  # hit both sides of the rotation coin flip
+        aug = d3feat_augment(dict(pair), np.random.RandomState(seed),
+                             noise=0.0)
+        mapped = aug["points0"] @ aug["t_gt"][:3, :3].T + aug["t_gt"][:3, 3]
+        np.testing.assert_allclose(mapped, aug["points1"], atol=1e-3)
+
+
+def test_d3feat_augment_wired(fake_kitti):
+    cfg = _cfg(fake_kitti).replace(d3feat_augmentation=True)
+    ds = KittiComplementDataset(cfg, "train", splits={"train": [0]})
+    pair = ds.get_pair(0)
+    mapped = pair["points0"] @ pair["t_gt"][:3, :3].T + pair["t_gt"][:3, 3]
+    # GT stays consistent up to the injected per-point noise (0.01 box)
+    # for at least the overlapping region: check the transform is rigid
+    r = pair["t_gt"][:3, :3]
+    np.testing.assert_allclose(r @ r.T * (1.0 / (r @ r.T)[0, 0]), np.eye(3),
+                               atol=1e-4)
+    assert np.isfinite(pair["t_gt"]).all()
 
 
 def test_mutate_neighbour_fault_injection(fake_kitti):

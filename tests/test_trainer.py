@@ -130,3 +130,20 @@ def test_checkpoint_roundtrip(tmp_path, trainer_and_batch):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         state2.params, w_only.params,
     )
+
+
+def test_best_checkpoint_survives_gc(tmp_path, trainer_and_batch):
+    """Tagged 'best' snapshots must outlive max_to_keep rolling saves — the
+    reference keeps best_val_checkpoint.pth / model_best_recall.pth forever."""
+    from apr_tpu.training.checkpoints import CheckpointManager
+
+    trainer, batch, state = trainer_and_batch
+    mngr = CheckpointManager(str(tmp_path), max_to_keep=3)
+    mngr.save(1, state, extra={"best_val": 0.9}, tag="best")
+    for epoch in range(2, 8):  # 6 rolling saves > max_to_keep
+        mngr.save(epoch, state)
+    restored, meta = mngr.restore(state, tag="best")
+    assert meta["epoch"] == 1
+    assert meta["best_val"] == 0.9
+    # rolling saves were GC'd down to 3
+    assert mngr.latest_epoch() == 7
