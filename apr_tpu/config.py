@@ -52,12 +52,20 @@ class APRConfig:
     regularization_strength: float = 0.01
     regularization_type: str = "L2"
     alpha: float = 1.0
-    # chamfer backend: "exact" = streaming brute force (default; ~1.9s/step
-    # at full KITTI scale); "grid" = spatially-bucketed NN — 500x faster
-    # standalone but currently pathological inside the differentiated train
-    # step on TPU (XLA schedules the scan+gather chain ~100x slower when
-    # embedded; device faults at some sizes) — experimental opt-in
-    chamfer_mode: str = "exact"
+    # chamfer backend:
+    #   "window" (default) = cell-key-sorted contiguous-window NN
+    #     (ops/chamfer_window.py) — 2.6x faster than exact at KITTI scale,
+    #     embeds cleanly in the differentiated train step; strays beyond
+    #     2 * (chamfer_cell_multiplier * voxel_size) get a clamped
+    #     zero-gradient contribution;
+    #   "exact" = streaming brute force (ops/chamfer.py), the eval-grade
+    #     reference semantics, VPU speed-of-light but O(Nq*Ns);
+    #   "pallas" = brute force as a Pallas kernel (slower than "exact"'s
+    #     XLA lowering on v5e — kept for kernel parity tests);
+    #   "grid" = 27-cell bucketed NN — fastest standalone but its
+    #     searchsorted+gather chain miscompiles inside the differentiated
+    #     step on TPU — experimental opt-in
+    chamfer_mode: str = "window"
     chamfer_cell_multiplier: float = 4.0   # cell = multiplier * voxel_size
     chamfer_bucket_cap: int = 64
 
@@ -69,6 +77,8 @@ class APRConfig:
     first_subsampling_dl: float = 0.3
     conv_radius: float = 4.25
     deform_radius: float = 5.0
+    deformable: bool = False      # deformable KPConv in resnet blocks
+    modulated: bool = False       # sigmoid-gated kernel points (deformable)
     num_kernel_points: int = 15
     KP_extent: float = 2.0
     KP_influence: str = "linear"
@@ -133,6 +143,11 @@ class APRConfig:
     LoNUSCENES: bool = False
     downsample_single: float = 1.0
     positive_pair_search_voxel_size_multiplier: float = 1.5
+
+    # conv compute dtype: "bfloat16" runs encoder matmuls/gathers in bf16
+    # with f32 accumulation + f32 master params (reference trains fp32 on
+    # CUDA; bf16 is the TPU-native mixed-precision recipe — ~4x MXU rate)
+    compute_dtype: str = "bfloat16"
 
     # --- static capacities (TPU buffers; no reference analog) ---
     point_capacity: int = 131072          # raw points per cloud

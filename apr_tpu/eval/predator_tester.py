@@ -98,6 +98,61 @@ class PredatorTester:
             overlap_radius=c.overlap_radius,
         )
 
+    def test_sharded(self, pairs, mesh=None, seed: int = 0) -> TestStats:
+        """Multi-chip eval fan-out (SURVEY.md §5.8), Predator flavor: groups
+        of pairs stack into one leading-dim-sharded KPPairBatch; every chip
+        runs the same SPMD program (KPFCNN forward + overlap*saliency
+        sampling + RANSAC) on its local pairs.  Mirrors
+        FeatureTester.test_sharded."""
+        import time as _time
+
+        from apr_tpu.parallel import make_mesh, replicate, shard_batch
+
+        c = self.config
+        mesh = mesh or make_mesh()
+        d = len(mesh.devices.reshape(-1))
+        pairs = list(pairs)
+        stats = TestStats()
+        key = jax.random.PRNGKey(seed)
+        params = replicate(self.state.params, mesh)
+
+        step = self._step  # per-pair jitted step, vmapped below
+
+        @jax.jit
+        def sharded_step(params, batch, keys):
+            return jax.vmap(step, in_axes=(None, 0, 0))(params, batch, keys)
+
+        t0 = None
+        n_timed = 0
+        for g in range(0, len(pairs), d):
+            group = pairs[g:g + d]
+            while len(group) < d:  # pad the tail group by repetition
+                group.append(group[-1])
+            per_pair = [self._pair_to_batch(p) for p in group]
+            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *per_pair)
+            batch = shard_batch(batch, mesh)
+            key, k = jax.random.split(key)
+            keys = jax.random.split(k, d)
+            _, rte, rre, fitness = sharded_step(params, batch, keys)
+            jax.block_until_ready(rte)
+            if t0 is None:
+                t0 = _time.time()  # first group pays compilation
+            else:
+                n_timed += len(pairs[g:g + d])
+            for i in range(len(pairs[g:g + d])):
+                r, e = float(rte[i]), float(rre[i])
+                e = e if np.isfinite(e) else 180.0
+                stats.rte.append(r)
+                stats.rre.append(e)
+                stats.success.append(r < c.rte_thresh and e < c.rre_thresh)
+                stats.fitness.append(float(fitness[i]))
+                stats.pair_dist.append(
+                    float(np.linalg.norm(group[i]["t_gt"][:3, 3])))
+        if t0 is not None and n_timed:
+            per = (_time.time() - t0) / n_timed
+            stats.sec_per_pair.extend([per] * n_timed)
+        return stats
+
     def test(self, pairs: Iterable[dict], seed: int = 0,
              log_freq: int = 10, pipelined: bool = True) -> TestStats:
         """Pipelined by default (one device sync for the whole set — see

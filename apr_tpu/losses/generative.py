@@ -89,6 +89,17 @@ def npr_reconstruction(
             cell_size=chamfer_cell_size, bucket_cap=chamfer_bucket_cap,
             b_sorted=apc_sorted,
         )
+    elif chamfer_mode == "window":
+        from apr_tpu.ops.chamfer_window import chamfer_distance_window
+
+        cd = chamfer_distance_window(
+            recon, apc_points, recon_mask, apc_mask,
+            cell_size=chamfer_cell_size,
+        )
+    elif chamfer_mode == "pallas":
+        from apr_tpu.ops.pallas.distance import chamfer_distance_pallas
+
+        cd = chamfer_distance_pallas(recon, apc_points, recon_mask, apc_mask)
     else:
         cd = chamfer_distance(recon, apc_points, recon_mask, apc_mask)
     return cd + reg * reg_strength, cd, reg

@@ -122,6 +122,18 @@ class KPConvLayer(nn.Module):
     """forward(q_pts [Nq,3], s_pts [Ns,3], neighb [Nq,nmax], x [Ns,Cin]).
 
     Parity: blocks.py:229-374 (sum aggregation, linear influence default).
+
+    ``deformable``: a rigid offset KPConv predicts per-query kernel-point
+    displacements (scaled by kp_extent) that shift the kernel before
+    influence computation (blocks.py:235-316); ``modulated`` additionally
+    predicts 2*sigmoid gates per kernel point.  The reference's dynamic
+    in-range neighbor pruning (blocks.py:285-315) is a CUDA perf trick with
+    data-dependent shapes — on TPU it is skipped: with linear/gaussian
+    influence, out-of-range neighbors already contribute (near-)zero weight,
+    so results match; with constant influence the pruning is semantic and
+    this layer intentionally keeps ALL in-radius neighbors.  The per-query
+    (min over neighbors) deformed-KP distances are sown under
+    ('deform', 'min_d2') for fitting regularizers.
     """
 
     out_channels: int
@@ -133,6 +145,8 @@ class KPConvLayer(nn.Module):
     fixed_kernel_points: str = "center"
     randomize_kernel: bool = False
     kernel_seed: int = 0
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x):
@@ -151,6 +165,23 @@ class KPConvLayer(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_in", "uniform"),
             (k, cin, self.out_channels),
         )
+
+        offsets = None
+        modulations = None
+        if self.deformable:
+            offset_dim = (4 if self.modulated else 3) * k
+            raw = KPConvLayer(
+                offset_dim, self.kp_extent, self.radius,
+                self.num_kernel_points, self.influence, self.aggregation,
+                self.fixed_kernel_points, self.randomize_kernel,
+                self.kernel_seed, name="offset_conv",
+            )(q_pts, s_pts, neighb_inds, x)
+            raw = raw + self.param(
+                "offset_bias", nn.initializers.zeros, (offset_dim,)
+            )
+            offsets = raw[:, : 3 * k].reshape(-1, k, 3) * self.kp_extent
+            if self.modulated:
+                modulations = 2.0 * jax.nn.sigmoid(raw[:, 3 * k:])  # [Nq, K]
 
         # shadow point far away (reference: s_pts padded with +1e6 row)
         s_pad = jnp.concatenate(
@@ -175,12 +206,20 @@ class KPConvLayer(nn.Module):
 
         if self.aggregation == "closest":
             # needs the full [Nq, nmax, K] distance tensor for the argmin
-            diff = neighbors[:, :, None, :] - kernel_points[None, None]
+            deformed = kernel_points[None, None]          # [1, 1, K, 3]
+            if offsets is not None:
+                deformed = deformed + offsets[:, None]    # [Nq, 1, K, 3]
+            diff = neighbors[:, :, None, :] - deformed
             sq = jnp.sum(diff * diff, axis=-1)
+            if self.deformable:
+                self.sow("deform", "min_d2",
+                         jnp.min(jnp.where(valid[..., None], sq, jnp.inf), 1))
             w = influence_of(sq)
             nearest = jnp.argmin(sq, axis=-1)
             w = w * jax.nn.one_hot(nearest, k, dtype=w.dtype)
             w = jnp.where(valid[..., None], w, 0.0)
+            if modulations is not None:
+                w = w * modulations[:, None, :]
             weighted = jnp.einsum("qnk,qnc->qkc", w, neighb_x,
                                   preferred_element_type=jnp.float32)
             out = jnp.einsum("qkc,kcd->qd", weighted, weights,
@@ -191,19 +230,38 @@ class KPConvLayer(nn.Module):
             # ONE large MXU matmul [Nq, Cin] @ [Cin, Cout].  The fused
             # [Nq, nmax, K] formulation lowers to thousands of tiny batched
             # matmuls that XLA-TPU takes minutes to compile.
+            nq = neighb_x.shape[0]
+
             def step(acc, inputs):
-                kp, w_k = inputs  # kp [3], w_k [Cin, Cout]
-                diff = neighbors - kp[None, None, :]
+                if self.deformable:
+                    kp, w_k, off, mod = inputs  # off [Nq,3], mod [Nq]
+                    center = kp[None, None, :] + off[:, None, :]
+                else:
+                    kp, w_k = inputs            # kp [3], w_k [Cin, Cout]
+                    center = kp[None, None, :]
+                diff = neighbors - center
                 sq = jnp.sum(diff * diff, axis=-1)        # [Nq, nmax]
                 infl = jnp.where(valid, influence_of(sq), 0.0)
+                if self.deformable:
+                    infl = infl * mod[:, None]
                 tmp = jnp.einsum("qn,qnc->qc", infl, neighb_x,
                                  preferred_element_type=jnp.float32)
+                ys = (jnp.min(jnp.where(valid, sq, jnp.inf), axis=1)
+                      if self.deformable else None)
                 return acc + jnp.dot(tmp, w_k,
-                                     preferred_element_type=jnp.float32), None
+                                     preferred_element_type=jnp.float32), ys
 
-            init = jnp.zeros((neighb_x.shape[0], self.out_channels),
-                             jnp.float32)
-            out, _ = jax.lax.scan(step, init, (kernel_points, weights))
+            init = jnp.zeros((nq, self.out_channels), jnp.float32)
+            if self.deformable:
+                mods = (modulations.T if modulations is not None
+                        else jnp.ones((k, nq), jnp.float32))
+                xs = (kernel_points, weights,
+                      jnp.transpose(offsets, (1, 0, 2)), mods)
+            else:
+                xs = (kernel_points, weights)
+            out, min_d2 = jax.lax.scan(step, init, xs)
+            if self.deformable:
+                self.sow("deform", "min_d2", min_d2.T)    # [Nq, K]
         else:
             raise ValueError(self.aggregation)
 
@@ -243,6 +301,8 @@ class SimpleBlock(nn.Module):
     num_kernel_points: int = 15
     influence: str = "linear"
     aggregation: str = "sum"
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb, x, q_mask):
@@ -250,6 +310,7 @@ class SimpleBlock(nn.Module):
         h = KPConvLayer(
             self.out_dim // 2, self.kp_extent, self.radius,
             self.num_kernel_points, self.influence, self.aggregation,
+            deformable=self.deformable, modulated=self.modulated,
         )(q_pts, s_pts, neighb, x)
         h = MaskedInstanceNorm()(h[None], q_mask[None])[0]
         return jnp.where(q_mask[:, None], _leaky(h), 0.0)
@@ -263,6 +324,8 @@ class ResnetBottleneckBlock(nn.Module):
     num_kernel_points: int = 15
     influence: str = "linear"
     aggregation: str = "sum"
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb, x, q_mask, s_mask):
@@ -275,6 +338,7 @@ class ResnetBottleneckBlock(nn.Module):
         h = KPConvLayer(
             mid, self.kp_extent, self.radius,
             self.num_kernel_points, self.influence, self.aggregation,
+            deformable=self.deformable, modulated=self.modulated,
             name="conv",
         )(q_pts, s_pts, neighb, h)
         h = MaskedInstanceNorm(name="norm_conv")(h[None], q_mask[None])[0]

@@ -53,6 +53,8 @@ class KPEncoder(nn.Module):
     conv_radius: float = 4.25
     kp_extent: float = 2.0
     num_kernel_points: int = 15
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, pyr: KPPyramid, feats: Optional[jnp.ndarray] = None):
@@ -76,7 +78,8 @@ class KPEncoder(nn.Module):
             out_dim, r, extent(r), self.num_kernel_points, name="enc_simple"
         )(lv[0].points, lv[0].points, lv[0].neighbors, feats, lv[0].mask)
         x = ResnetBottleneckBlock(
-            out_dim, r, extent(r), name="enc_l0_resnetb"
+            out_dim, r, extent(r), deformable=self.deformable,
+            modulated=self.modulated, name="enc_l0_resnetb"
         )(lv[0].points, lv[0].points, lv[0].neighbors, x, lv[0].mask, lv[0].mask)
 
         for l in range(3):
@@ -85,16 +88,19 @@ class KPEncoder(nn.Module):
             # strided resnetb: coarse queries pool from fine supports
             x = ResnetBottleneckBlock(
                 out_dim, r, extent(r), strided=True,
+                deformable=self.deformable, modulated=self.modulated,
                 name=f"enc_l{l}_strided",
             )(lv[l + 1].points, lv[l].points, lv[l].pools, x,
               lv[l + 1].mask, lv[l].mask)
             r *= 2
             x = ResnetBottleneckBlock(
-                out_dim, r, extent(r), name=f"enc_l{l + 1}_resnetb1"
+                out_dim, r, extent(r), deformable=self.deformable,
+                modulated=self.modulated, name=f"enc_l{l + 1}_resnetb1"
             )(lv[l + 1].points, lv[l + 1].points, lv[l + 1].neighbors, x,
               lv[l + 1].mask, lv[l + 1].mask)
             x = ResnetBottleneckBlock(
-                out_dim, r, extent(r), name=f"enc_l{l + 1}_resnetb2"
+                out_dim, r, extent(r), deformable=self.deformable,
+                modulated=self.modulated, name=f"enc_l{l + 1}_resnetb2"
             )(lv[l + 1].points, lv[l + 1].points, lv[l + 1].neighbors, x,
               lv[l + 1].mask, lv[l + 1].mask)
         return x, skips
@@ -136,12 +142,15 @@ class KPFCNN(nn.Module):
     num_kernel_points: int = 15
     condition_feature: bool = True
     add_cross_score: bool = True
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, pyr0: KPPyramid, pyr1: KPPyramid) -> KPFCNNOutputs:
         encoder = KPEncoder(
             self.first_feats_dim, self.first_subsampling_dl,
             self.conv_radius, self.kp_extent, self.num_kernel_points,
+            deformable=self.deformable, modulated=self.modulated,
             name="encoder",
         )
         x0, skips0 = encoder(pyr0)
@@ -231,6 +240,8 @@ class KPFCNNDecoder(nn.Module):
     conv_radius: float = 4.25
     kp_extent: float = 2.0
     num_kernel_points: int = 15
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, feats, pyr: KPPyramid):
@@ -238,6 +249,7 @@ class KPFCNNDecoder(nn.Module):
         encoder = KPEncoder(
             self.first_feats_dim, self.first_subsampling_dl,
             self.conv_radius, self.kp_extent, self.num_kernel_points,
+            deformable=self.deformable, modulated=self.modulated,
             name="encoder",
         )
         x_b, skips = encoder(pyr, feats)

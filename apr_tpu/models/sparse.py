@@ -194,6 +194,7 @@ def sparse_conv_apply(
     table: jnp.ndarray,      # [N_out, K] indices into feats (sentinel N_in)
     weights: jnp.ndarray,    # [K, Ci, Co]
     out_mask: Optional[jnp.ndarray] = None,  # [N_out]
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Gather-matmul sparse convolution: one cloud.
 
@@ -204,10 +205,18 @@ def sparse_conv_apply(
     v5e); the fused contraction keeps the MXU at a real tile shape.  The
     sentinel row (index == N_in) gathers the appended zero row — ME's
     out-of-map behavior.
+
+    ``compute_dtype=jnp.bfloat16`` casts activations + weights before the
+    gather/matmul (halves gather HBM traffic, 4x MXU rate vs fp32 on v5e)
+    while accumulating in float32; params stay fp32 masters.  Output dtype
+    is float32 either way so norms/losses keep full precision.
     """
     n_in, ci = feats.shape
     n_out, k = table.shape
     co = weights.shape[-1]
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
     padded = jnp.concatenate([feats, jnp.zeros((1, ci), feats.dtype)], 0)
     gathered = padded[jnp.minimum(table, n_in)]          # [N_out, K, Ci]
     out = jax.lax.dot_general(
@@ -218,4 +227,84 @@ def sparse_conv_apply(
     )
     if out_mask is not None:
         out = jnp.where(out_mask[:, None], out, 0.0)
-    return out.astype(feats.dtype)
+    return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free autodiff: the input gradient of a gather-matmul conv is
+# ANOTHER gather-matmul over the transpose kernel map
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def sparse_conv_adjoint(
+    feats: jnp.ndarray,      # [N_in, Ci]
+    table: jnp.ndarray,      # [N_out, K] into feats (sentinel N_in)
+    table_t: jnp.ndarray,    # [N_in, K] into OUTPUT rows (sentinel N_out)
+    weights: jnp.ndarray,    # [K, Ci, Co]
+    out_mask: Optional[jnp.ndarray],
+    in_mask: Optional[jnp.ndarray],
+    reverse_k: bool = False,
+    compute_dtype: Optional[str] = None,
+) -> jnp.ndarray:
+    """sparse_conv_apply with a scatter-free backward.
+
+    XLA's autodiff of the forward gather is a row scatter-add — the slowest
+    memory op on TPU (measured ~3x the whole forward).  But the adjacency is
+    symmetric: voxel i feeds output o through offset j exactly when o feeds
+    i through the structural transpose, so
+
+        d feats = gather_matmul(g, table_t, W~),   W~[j] = W[p(j)]^T
+
+    where (table_t, p) are:
+      - same-level conv:   table_t = table,       p(j) = K-1-j
+        (offsets_grid is centrosymmetric: offs[K-1-j] == -offs[j]);
+      - strided down conv: table_t = up kernel map,   p = identity
+        (kernel_map_up is built as kernel_map_down's adjoint, sparse.py);
+      - transposed conv:   table_t = down kernel map, p = identity.
+
+    The weight gradient re-gathers the inputs (one extra gather) instead of
+    saving the [N_out, K, Ci] neighbor tensor — O(N*C) residual memory.
+    """
+    cd = jnp.dtype(compute_dtype) if compute_dtype else None
+    return sparse_conv_apply(feats, table, weights, out_mask, cd)
+
+
+def _sca_fwd(feats, table, table_t, weights, out_mask, in_mask,
+             reverse_k, compute_dtype):
+    cd = jnp.dtype(compute_dtype) if compute_dtype else None
+    out = sparse_conv_apply(feats, table, weights, out_mask, cd)
+    return out, (feats, table, table_t, weights, out_mask, in_mask)
+
+
+def _sca_bwd(reverse_k, compute_dtype, res, g):
+    feats, table, table_t, weights, out_mask, in_mask = res
+    cd = jnp.dtype(compute_dtype) if compute_dtype else None
+    n_in, ci = feats.shape
+    n_out, k = table.shape
+    co = weights.shape[-1]
+
+    g = g.astype(jnp.float32)
+    if out_mask is not None:
+        g = jnp.where(out_mask[:, None], g, 0.0)
+
+    # d feats: gather-matmul of g over the transpose map
+    w_t = jnp.transpose(weights, (0, 2, 1))          # [K, Co, Ci]
+    if reverse_k:
+        w_t = w_t[::-1]
+    dfeats = sparse_conv_apply(g, table_t, w_t, in_mask, cd)
+
+    # d weights: re-gather inputs, one [K*Ci, N_out] @ [N_out, Co] matmul
+    f = feats.astype(cd) if cd is not None else feats
+    gm = g.astype(cd) if cd is not None else g
+    padded = jnp.concatenate([f, jnp.zeros((1, ci), f.dtype)], 0)
+    gathered = padded[jnp.minimum(table, n_in)].reshape(n_out, k * ci)
+    dw = jax.lax.dot_general(
+        gathered, gm,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(k, ci, co).astype(weights.dtype)
+
+    return dfeats.astype(feats.dtype), None, None, dw, None, None
+
+
+sparse_conv_adjoint.defvjp(_sca_fwd, _sca_bwd)

@@ -122,14 +122,18 @@ def _directed_fwd(queries, supports, q_mask, s_mask):
 
 
 def _directed_bwd(res, g):
+    # per-coordinate 1-D gathers/scatters: [N, 3] row gathers pad the 3-lane
+    # trailing axis to the 128-lane tile on TPU (~42x wasted work)
     queries, supports, q_mask, idx, nq = res
     ns = supports.shape[0]
     safe = jnp.clip(idx, 0, ns - 1)
-    nearest = supports[safe]
-    diff = jnp.where(q_mask[:, None], queries - nearest, 0.0)
-    dq = 2.0 * g / nq * diff
-    ds = jnp.zeros_like(supports).at[safe].add(-dq)
-    return dq, ds, None, None
+    dq_c, ds_c = [], []
+    for c in range(queries.shape[1]):
+        diff = jnp.where(q_mask, queries[:, c] - supports[safe, c], 0.0)
+        dq = 2.0 * g / nq * diff
+        dq_c.append(dq)
+        ds_c.append(jnp.zeros_like(supports[:, c]).at[safe].add(-dq))
+    return jnp.stack(dq_c, -1), jnp.stack(ds_c, -1), None, None
 
 
 _directed_mean_sq_nn.defvjp(_directed_fwd, _directed_bwd)

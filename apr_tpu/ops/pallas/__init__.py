@@ -1,3 +1,11 @@
-from apr_tpu.ops.pallas.distance import nn_min_pallas
+from apr_tpu.ops.pallas.distance import (
+    chamfer_distance_pallas,
+    directed_mean_sq_nn_pallas,
+    nn_min_pallas,
+)
 
-__all__ = ["nn_min_pallas"]
+__all__ = [
+    "chamfer_distance_pallas",
+    "directed_mean_sq_nn_pallas",
+    "nn_min_pallas",
+]

@@ -110,3 +110,61 @@ def nn_min_pallas(
         jnp.where(none_valid, jnp.inf, d2),
         jnp.where(none_valid, ns, idx.astype(jnp.int32)),
     )
+
+
+def _auto_interpret() -> bool:
+    # compiled Mosaic kernels need a real TPU; CPU test runs interpret
+    return jax.default_backend() != "tpu"
+
+
+@jax.custom_vjp
+def directed_mean_sq_nn_pallas(
+    queries: jnp.ndarray,
+    supports: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    s_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked mean over queries of min squared NN distance (Pallas forward).
+
+    Semantics match apr_tpu.ops.chamfer._directed_mean_sq_nn; the backward
+    re-gathers the argmin support (cheap XLA gather/scatter) so no distance
+    tiles are saved.
+    """
+    d2, _ = nn_min_pallas(queries, supports, s_mask,
+                          interpret=_auto_interpret())
+    w = q_mask.astype(queries.dtype)
+    return jnp.sum(jnp.where(q_mask, d2, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _pallas_fwd(queries, supports, q_mask, s_mask):
+    d2, idx = nn_min_pallas(queries, supports, s_mask,
+                            interpret=_auto_interpret())
+    w = q_mask.astype(queries.dtype)
+    nq = jnp.maximum(jnp.sum(w), 1.0)
+    val = jnp.sum(jnp.where(q_mask, d2, 0.0)) / nq
+    return val, (queries, supports, q_mask, idx, nq)
+
+
+def _pallas_bwd(res, g):
+    queries, supports, q_mask, idx, nq = res
+    ns = supports.shape[0]
+    resolved = (idx < ns) & q_mask
+    safe = jnp.clip(idx, 0, ns - 1)
+    nearest = supports[safe]
+    diff = jnp.where(resolved[:, None], queries - nearest, 0.0)
+    dq = 2.0 * g / nq * diff
+    ds = jnp.zeros_like(supports).at[safe].add(-dq)
+    return dq, ds, None, None
+
+
+directed_mean_sq_nn_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def chamfer_distance_pallas(a, b, a_mask=None, b_mask=None):
+    """Bidirectional Chamfer (reference normalization), Pallas min-kernel."""
+    if a_mask is None:
+        a_mask = jnp.ones((a.shape[0],), bool)
+    if b_mask is None:
+        b_mask = jnp.ones((b.shape[0],), bool)
+    return directed_mean_sq_nn_pallas(a, b, a_mask, b_mask) + \
+        directed_mean_sq_nn_pallas(b, a, b_mask, a_mask)

@@ -122,6 +122,8 @@ class PredatorTrainer:
             num_kernel_points=c.num_kernel_points,
             condition_feature=c.condition_feature,
             add_cross_score=c.add_cross_score,
+            deformable=c.deformable,
+            modulated=c.modulated,
         )
         self.symmetric = bool(c.symmetric)
         if self.symmetric:
@@ -136,6 +138,8 @@ class PredatorTrainer:
                 conv_radius=c.conv_radius,
                 kp_extent=c.KP_extent,
                 num_kernel_points=c.num_kernel_points,
+                deformable=c.deformable,
+                modulated=c.modulated,
             )
         else:
             self.generator = make_generative_mlp(

@@ -91,6 +91,8 @@ class FCGFTrainer:
     def __init__(self, config: APRConfig):
         assert config.trainer in self.LOSS_MODES, config.trainer
         self.config = config
+        cd = (None if config.compute_dtype in (None, "float32")
+              else config.compute_dtype)
         self.encoder = make_resunet(
             config.model,
             in_channels=1,
@@ -98,6 +100,7 @@ class FCGFTrainer:
             normalize_feature=config.normalize_feature,
             conv1_kernel_size=config.conv1_kernel_size,
             bn_momentum=config.bn_momentum,
+            compute_dtype=cd,
         )
         self.generative = config.trainer == "GenerativePairTrainer"
         self.symmetric = bool(config.symmetric) and self.generative
@@ -112,6 +115,7 @@ class FCGFTrainer:
                 normalize_feature=False,
                 conv1_kernel_size=config.conv1_kernel_size,
                 bn_momentum=config.bn_momentum,
+                compute_dtype=cd,
             )
         elif self.generative:
             self.generator = make_generative_mlp(

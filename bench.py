@@ -22,6 +22,7 @@ number is published — BASELINE.md).  The north-star target is 2x A100, i.e.
 1.0 pairs/sec, so vs_baseline = measured / 1.0.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -31,9 +32,17 @@ import numpy as np
 
 TARGET_PAIRS_PER_SEC = 1.0  # 2x the estimated A100 reference pipeline
 SCAN_ITERS = 32
+V5E_PEAK_BF16 = 197e12  # MXU peak, bf16 with f32 accumulation
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", action="store_true",
+                    help="also print per-stage accounting to stderr")
+    ap.add_argument("--predator", action="store_true",
+                    help="bench the Predator eval pipeline instead of FCGF")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +58,10 @@ def main():
     from apr_tpu.eval import FeatureTester
     from apr_tpu.training import get_trainer
     from apr_tpu.training.batching import make_pair_batch
+
+    if args.predator:
+        _bench_predator(jax, jnp)
+        return
 
     cfg = APRConfig(
         trainer="GenerativePairTrainer",
@@ -79,10 +92,12 @@ def main():
     c = cfg
 
     def one_pair(key, pts0, mask0, pts1, mask1, t_gt):
-        # key-dependent jitter defeats loop-invariant hoisting while being
-        # geometrically negligible (0.1 mm)
-        k_j, k_e = jax.random.split(key)
-        pts0 = pts0 + jax.random.normal(k_j, pts0.shape) * 1e-4
+        # key-dependent jitter on BOTH clouds defeats loop-invariant hoisting
+        # of either voxelize->pyramid->encode chain while being geometrically
+        # negligible (0.1 mm)
+        k_j0, k_j1, k_e = jax.random.split(key, 3)
+        pts0 = pts0 + jax.random.normal(k_j0, pts0.shape) * 1e-4
+        pts1 = pts1 + jax.random.normal(k_j1, pts1.shape) * 1e-4
         zeros = jnp.zeros((1, 1, 3))
         zmask = jnp.zeros((1, 1), bool)
         batch = make_pair_batch(
@@ -130,6 +145,18 @@ def main():
     dt = time.time() - t0
     value = SCAN_ITERS / dt
 
+    # MFU from XLA's own flop count of the whole compiled pipeline
+    mfu = None
+    try:
+        ca = bench_scan.lower(jax.random.PRNGKey(2), raw).compile()
+        ca = ca.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / V5E_PEAK_BF16
+    except Exception:  # cost_analysis availability varies by backend
+        pass
+
     print(
         json.dumps(
             {
@@ -143,9 +170,139 @@ def main():
     print(
         f"# detail: {SCAN_ITERS} full-pipeline iterations in one dispatch, "
         f"{dt:.3f}s total ({dt / SCAN_ITERS * 1e3:.1f} ms/pair); "
-        f"compile {compile_s:.1f}s",
+        f"compile {compile_s:.1f}s"
+        + (f"; MFU ~{mfu * 100:.1f}% of v5e bf16 peak" if mfu else ""),
         file=sys.stderr,
     )
+
+    if args.stages:
+        # truncated pipelines, same scan protocol; deltas are stage costs
+        def stage_scan(fn, label):
+            @jax.jit
+            def run(key, raw):
+                def body(c, k):
+                    return c + fn(k, raw), None
+                keys = jax.random.split(key, SCAN_ITERS)
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), keys)
+                return acc
+            r = run(jax.random.PRNGKey(2), raw)
+            jax.block_until_ready(r)
+            t0 = time.time()
+            r = run(jax.random.PRNGKey(2), raw)
+            jax.block_until_ready(r)
+            ms = (time.time() - t0) / SCAN_ITERS * 1e3
+            print(f"# stage {label:<24}{ms:8.1f} ms/pair", file=sys.stderr)
+            return ms
+
+        def prep_only(k, raw):
+            b = _make_batch(k, raw)
+            return jnp.sum(b.pyramid0.levels[0].coords[0, 0].astype(
+                jnp.float32))
+
+        def prep_encode(k, raw):
+            b = _make_batch(k, raw)
+            f0, _ = trainer._encode(state.params, state.batch_stats,
+                                    b.feats0, b.pyramid0, False)
+            f1, _ = trainer._encode(state.params, state.batch_stats,
+                                    b.feats1, b.pyramid1, False)
+            return jnp.mean(f0) + jnp.mean(f1)
+
+        def _make_batch(key, raw):
+            pts0, mask0, pts1, mask1, t_gt = raw
+            k0, k1, _ = jax.random.split(key, 3)
+            pts0 = pts0 + jax.random.normal(k0, pts0.shape) * 1e-4
+            pts1 = pts1 + jax.random.normal(k1, pts1.shape) * 1e-4
+            zeros = jnp.zeros((1, 1, 3))
+            zmask = jnp.zeros((1, 1), bool)
+            return make_pair_batch(
+                pts0[None], mask0[None], pts1[None], mask1[None],
+                zeros, zmask, zeros, zmask, t_gt[None],
+                voxel_size=c.voxel_size, capacities=c.capacities,
+                conv1_kernel_size=c.conv1_kernel_size,
+                corr_cap=c.corr_capacity_per_point,
+                search_multiplier=c.positive_pair_search_voxel_size_multiplier,
+                with_correspondences=False,
+            )
+
+        t_prep = stage_scan(prep_only, "voxelize+pyramid")
+        t_enc = stage_scan(prep_encode, "+ encoder fwd x2")
+        total_ms = dt / SCAN_ITERS * 1e3
+        print(f"# stage {'encoder alone':<24}{t_enc - t_prep:8.1f} ms/pair",
+              file=sys.stderr)
+        print(f"# stage {'match+RANSAC+errors':<24}{total_ms - t_enc:8.1f}"
+              f" ms/pair (total {total_ms:.1f})", file=sys.stderr)
+
+
+def _bench_predator(jax, jnp):
+    """Predator eval pipeline throughput: KPFCNN forward +
+    overlap*saliency Gumbel sampling + RANSAC, one pair per scan step
+    (reference Predator_APR/lib/tester.py:33-141 protocol)."""
+    from apr_tpu.config import APRConfig
+    from apr_tpu.data.synthetic import synthetic_pair
+    from apr_tpu.eval.predator_tester import PredatorTester
+    from apr_tpu.training.predator import PredatorTrainer
+
+    cfg = APRConfig(
+        trainer="PredatorTrainer",
+        point_capacity=32768,
+        kp_capacities=(16384, 4096, 2048, 1024),
+        neighborhood_limits=(40, 40, 40, 40),
+        test_num_ransac_hypotheses=32768,
+    )
+    trainer = PredatorTrainer(cfg)
+    pair = synthetic_pair(seed=0, n_points=30000, apc_points=4, extent=60.0,
+                          distance=15.0)
+    tester = PredatorTester(cfg, trainer, None)
+    batch0 = tester._pair_to_batch(pair)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch0)
+    params = state.params
+    step = tester._step
+
+    iters = 8  # KPFCNN at 16k superpoints is heavier than FCGF eval
+
+    def jitter_pyramids(batch, k):
+        # key-dependent 0.1 mm point jitter on every level so the KPFCNN
+        # forward cannot be hoisted out of the scan (tables stay valid)
+        def jit_pyr(pyr, kk):
+            lvls = []
+            for lv in pyr.levels:
+                kk, ku = jax.random.split(kk)
+                lvls.append(lv._replace(
+                    points=lv.points
+                    + jax.random.normal(ku, lv.points.shape) * 1e-4))
+            return pyr._replace(levels=tuple(lvls))
+        k0, k1 = jax.random.split(k)
+        return batch._replace(pyr0=jit_pyr(batch.pyr0, k0),
+                              pyr1=jit_pyr(batch.pyr1, k1))
+
+    @jax.jit
+    def bench_scan(key, batch):
+        def body(carry, k):
+            kj, ke = jax.random.split(k)
+            _, rte, _, _ = step(params, jitter_pyramids(batch, kj), ke)
+            return carry + rte, None
+        keys = jax.random.split(key, iters)
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), keys)
+        return acc
+
+    t0 = time.time()
+    acc = bench_scan(jax.random.PRNGKey(1), batch0)
+    jax.block_until_ready(acc)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    acc = bench_scan(jax.random.PRNGKey(2), batch0)
+    jax.block_until_ready(acc)
+    dt = time.time() - t0
+    value = iters / dt
+    print(json.dumps({
+        "metric": "predator_pairs_per_sec",
+        "value": round(value, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(value / TARGET_PAIRS_PER_SEC, 4),
+    }))
+    print(f"# detail: {iters} predator-eval iterations in one dispatch, "
+          f"{dt:.3f}s ({dt / iters * 1e3:.1f} ms/pair); compile "
+          f"{compile_s:.1f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -104,3 +104,105 @@ def test_import_generative_mlp():
     np.testing.assert_allclose(
         params["Dense_1"]["kernel"], sd["mlp.3.weight"].numpy().T
     )
+
+
+# --- golden feature-map tests ----------------------------------------------
+
+@pytest.mark.slow
+def test_mlp_import_golden_vs_torch():
+    """Imported MLP reproduces the torch reference forward EXACTLY.
+
+    Builds the reference GenerativeMLP_54 stack (FCGF_APR/model/mlp.py:14-25:
+    Linear-ReLU-BN per hidden layer, final Linear-ReLU) in torch with random
+    weights AND nontrivial running stats, imports the state_dict, and checks
+    the flax eval-mode forward against torch eval-mode output.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch.nn as tnn
+
+    from apr_tpu.models.mlp import make_generative_mlp
+
+    torch.manual_seed(3)
+    model = tnn.Sequential(
+        tnn.Linear(8, 32), tnn.ReLU(), tnn.BatchNorm1d(32),
+        tnn.Linear(32, 16), tnn.ReLU(), tnn.BatchNorm1d(16),
+        tnn.Linear(16, 6), tnn.ReLU(),
+    )
+    # push nontrivial running stats through train-mode forwards
+    model.train()
+    for _ in range(3):
+        model(torch.randn(64, 8) * 2.0 + 0.5)
+    model.eval()
+
+    x = torch.randn(40, 8)
+    with torch.no_grad():
+        ref = model(x).numpy()
+
+    sd = {f"mlp.{k}": v for k, v in model.state_dict().items()}
+    params, stats = import_generative_mlp(sd)
+
+    flax_mlp = make_generative_mlp("GenerativeMLP_54", out_points=2)
+    # shape-check against a real init so the mapping targets real slots
+    init = flax_mlp.init(jax.random.PRNGKey(0), jnp.zeros((4, 8)),
+                         jnp.ones(4, bool))
+    got_tree = jax.tree_util.tree_structure(init["params"])
+    import_tree = jax.tree_util.tree_structure(
+        jax.tree.map(jnp.asarray, params))
+    assert got_tree == import_tree
+
+    out = flax_mlp.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, stats)},
+        jnp.asarray(x.numpy()), jnp.ones(40, bool), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_conv_golden_enumeration():
+    """Kernel slot j convolves the neighbor at offsets_grid[j] — the
+    documented ME enumeration assumption (z fastest, C-order over x,y,z).
+
+    Hand-computes the conv in numpy from that enumeration and checks
+    sparse_conv_apply + kernel_map_same reproduce it, so an imported
+    [K, Ci, Co] ME kernel lands slot-for-slot on the intended offsets."""
+    import jax.numpy as jnp
+
+    from apr_tpu.models.sparse import (
+        SparseLevel, kernel_map_same, offsets_grid, sparse_conv_apply,
+    )
+    from apr_tpu.ops.hashing import INVALID_KEY, pack_coords
+
+    coords = np.array(
+        [[0, 0, 0], [0, 0, 1], [0, 1, 0], [1, 0, 0], [2, 2, 2]], np.int32)
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(5, 4)).astype(np.float32)
+    w = rng.normal(size=(27, 4, 3)).astype(np.float32)
+
+    keys = pack_coords(jnp.asarray(coords))
+    order = np.argsort(np.asarray(keys))
+    coords_s, feats_s = coords[order], feats[order]
+    cap = 8
+    pad_c = np.zeros((cap - 5, 3), np.int32)
+    level = SparseLevel(
+        coords=jnp.asarray(np.concatenate([coords_s, pad_c])),
+        keys=jnp.concatenate([keys[jnp.asarray(order)],
+                              jnp.full((cap - 5,), INVALID_KEY)]),
+        mask=jnp.asarray(np.arange(cap) < 5),
+    )
+    feats_pad = np.concatenate([feats_s, np.zeros((cap - 5, 4), np.float32)])
+
+    table = kernel_map_same(level, 3)
+    out = sparse_conv_apply(jnp.asarray(feats_pad), table, jnp.asarray(w),
+                            level.mask)
+
+    offs = offsets_grid(3)
+    lut = {tuple(c): i for i, c in enumerate(coords_s)}
+    expected = np.zeros((cap, 3), np.float32)
+    for i in range(5):
+        for j, o in enumerate(offs):
+            nb = lut.get(tuple(coords_s[i] + o))
+            if nb is not None:
+                expected[i] += feats_s[nb] @ w[j]
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4,
+                               atol=1e-5)

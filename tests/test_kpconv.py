@@ -13,6 +13,9 @@ from apr_tpu.models.kpfcnn import KPFCNN
 from apr_tpu.losses.circle import circle_loss, metric_loss, weighted_bce
 from apr_tpu.data.synthetic import pad_points, synthetic_pair
 
+pytestmark = pytest.mark.slow  # heavy tier: full models / train loops
+
+
 
 def test_kernel_points_well_spread():
     kp = optimize_kernel_points(15, 3, "center", num_iter=3000)
@@ -166,3 +169,94 @@ def test_metric_loss_full(kpfcnn_setup, jax_key):
     for k, v in stats.items():
         assert np.isfinite(float(v)), (k, float(v))
     assert float(stats["circle_loss"]) > 0
+
+
+# --- deformable KPConv (blocks.py:235-316 parity) --------------------------
+
+def _deform_setup(rng, modulated=False):
+    import jax
+    from apr_tpu.models.kpconv import KPConvLayer
+
+    q = jnp.asarray(rng.uniform(-3, 3, (64, 3)).astype(np.float32))
+    s = jnp.asarray(rng.uniform(-3, 3, (96, 3)).astype(np.float32))
+    nb = jnp.asarray(rng.integers(0, 97, (64, 12)).astype(np.int32))  # 96 = shadow
+    x = jnp.asarray(rng.normal(size=(96, 8)).astype(np.float32))
+    layer = KPConvLayer(16, kp_extent=1.0, radius=2.0, num_kernel_points=7,
+                        deformable=True, modulated=modulated)
+    params = layer.init(jax.random.PRNGKey(0), q, s, nb, x)["params"]
+    return layer, params, (q, s, nb, x)
+
+
+def test_deformable_zero_offsets_match_rigid(rng):
+    """With the offset conv zeroed, deformable == rigid KPConv exactly."""
+    import jax
+    from apr_tpu.models.kpconv import KPConvLayer
+
+    layer, params, args = _deform_setup(rng)
+    params = jax.tree.map(jnp.zeros_like, params)
+    params = dict(params)
+    main_w = jnp.asarray(np.random.default_rng(7).normal(
+        size=params["weights"].shape).astype(np.float32))
+    params["weights"] = main_w
+
+    out_def = layer.apply({"params": params}, *args)
+
+    rigid = KPConvLayer(16, kp_extent=1.0, radius=2.0, num_kernel_points=7)
+    out_rig = rigid.apply({"params": {"weights": main_w}}, *args)
+    np.testing.assert_allclose(np.asarray(out_def), np.asarray(out_rig),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_deformable_offsets_change_output_and_grads_flow(rng):
+    import jax
+
+    layer, params, args = _deform_setup(rng)
+    out = layer.apply({"params": params}, *args)
+    assert out.shape == (64, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # offsets actually deform: zeroing the offset conv changes the output
+    p0 = dict(params)
+    p0["offset_conv"] = jax.tree.map(jnp.zeros_like, params["offset_conv"])
+    out0 = layer.apply({"params": p0}, *args)
+    assert float(jnp.abs(out - out0).max()) > 1e-6
+
+    # gradient flows into the offset conv weights
+    def loss(p):
+        return jnp.sum(layer.apply({"params": p}, *args) ** 2)
+    g = jax.grad(loss)(params)
+    g_off = jax.tree_util.tree_leaves(g["offset_conv"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in g_off)
+
+    # min_d2 sown for fitting regularizers
+    _, inter = layer.apply({"params": params}, *args, mutable=["deform"])
+    (min_d2,) = inter["deform"]["min_d2"]
+    assert min_d2.shape == (64, 7)
+
+
+def test_deformable_modulated(rng):
+    import jax
+
+    layer, params, args = _deform_setup(rng, modulated=True)
+    out = layer.apply({"params": params}, *args)
+    assert out.shape == (64, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    assert params["offset_bias"].shape == (4 * 7,)
+
+
+def test_kpfcnn_deformable_forward(rng, jax_key):
+    """Full KPFCNN with deformable encoder blocks runs and is finite."""
+    from apr_tpu.models.kpconv import build_kp_pyramid
+    from apr_tpu.models.kpfcnn import KPFCNN
+
+    pts = jnp.asarray(rng.uniform(-10, 10, (400, 3)).astype(np.float32))
+    mask = jnp.ones(400, bool)
+    pyr = build_kp_pyramid(pts, mask, first_subsampling_dl=1.0,
+                           capacities=(256, 128, 64, 32),
+                           neighbor_limits=(12, 12, 12, 12))
+    model = KPFCNN(final_feats_dim=8, first_feats_dim=16, gnn_feats_dim=16,
+                   dgcnn_k=4, num_head=2, first_subsampling_dl=1.0,
+                   num_kernel_points=7, deformable=True)
+    params = model.init(jax_key, pyr, pyr)["params"]
+    out = model.apply({"params": params}, pyr, pyr)
+    assert np.isfinite(np.asarray(out.feats0)).all()

@@ -11,6 +11,8 @@ from apr_tpu.training.predator import (
     make_kp_pair_batch,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier: full models / train loops
+
 
 CFG = APRConfig(
     trainer="PredatorTrainer",

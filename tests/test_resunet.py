@@ -21,6 +21,7 @@ def _batch_pyramid(rng, batch=2, n=400, voxel=0.5):
     return pyr
 
 
+@pytest.mark.slow
 def test_resunet_forward_shapes_and_masking(rng, jax_key):
     pyr = _batch_pyramid(rng)
     model = make_resunet(
@@ -42,6 +43,7 @@ def test_resunet_forward_shapes_and_masking(rng, jax_key):
     assert np.isfinite(o).all()
 
 
+@pytest.mark.slow
 def test_resunet_train_updates_batch_stats(rng, jax_key):
     pyr = _batch_pyramid(rng)
     model = make_resunet("ResUNetBN2", in_channels=1, out_channels=8,
@@ -56,6 +58,7 @@ def test_resunet_train_updates_batch_stats(rng, jax_key):
     assert any(float(jnp.abs(x).sum()) > 0 for x in flat)
 
 
+@pytest.mark.slow
 def test_resunet_padding_invariance(rng, jax_key):
     """Growing the padding capacity must not change valid outputs."""
     pts = rng.uniform(-6, 6, size=(300, 3)).astype(np.float32)

@@ -35,3 +35,33 @@ def test_sharded_eval_matches_single(rng):
     assert all(np.isfinite(stats.rte))
     # every pair produced a plausible (finite, bounded) registration attempt
     assert all(r < 1000 for r in stats.rte)
+
+
+@pytest.mark.slow
+def test_predator_sharded_eval(rng):
+    from apr_tpu.eval.predator_tester import PredatorTester
+    from apr_tpu.training.predator import PredatorTrainer
+
+    cfg = APRConfig(
+        trainer="PredatorTrainer",
+        first_feats_dim=16, final_feats_dim=8, gnn_feats_dim=16,
+        dgcnn_k=4, num_head=2, num_kernel_points=7,
+        first_subsampling_dl=1.0, point_capacity=1024,
+        kp_capacities=(512, 256, 128, 64),
+        neighborhood_limits=(12, 12, 12, 12),
+        test_num_ransac_hypotheses=512, test_subsample=200,
+        point_generation_ratio=2, generator_model="GenerativeMLP_54",
+    )
+    trainer = PredatorTrainer(cfg)
+    pairs = [synthetic_pair(s, n_points=900, apc_points=4, distance=4.0,
+                            extent=20.0) for s in range(4)]
+    tester = PredatorTester(cfg, trainer, None)
+    b0 = tester._pair_to_batch(pairs[0])
+    state = trainer.init_state(jax.random.PRNGKey(0), b0)
+    tester.state = state
+
+    mesh = make_mesh(jax.devices()[:4])
+    stats = tester.test_sharded(pairs, mesh=mesh, seed=0)
+    assert len(stats.rte) == 4
+    assert all(np.isfinite(stats.rte))
+    assert all(r < 1000 for r in stats.rte)

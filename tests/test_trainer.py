@@ -7,6 +7,9 @@ from apr_tpu.config import APRConfig
 from apr_tpu.data.synthetic import synthetic_pair, pad_points
 from apr_tpu.training import get_trainer, make_pair_batch
 
+pytestmark = pytest.mark.slow  # heavy tier: full models / train loops
+
+
 
 CFG = APRConfig(
     trainer="GenerativePairTrainer",
