@@ -89,9 +89,8 @@ def nn_distances(
             jnp.where(take, blk_arg, best_i),
         ), None
 
-    init = (jnp.full((queries.shape[0],), jnp.inf), jnp.full(
-        (queries.shape[0],), ns, dtype=jnp.int32
-    ))
+    init = (jnp.full((queries.shape[0],), jnp.inf, dtype=queries.dtype),
+            jnp.full((queries.shape[0],), ns, dtype=jnp.int32))
     bases = jnp.arange(nblk, dtype=jnp.int32) * block
     (d2, idx), _ = jax.lax.scan(
         body, init,

@@ -90,19 +90,26 @@ def main():
            jnp.asarray(pair["t_gt"]))
 
     c = cfg
+    GROUP = 4  # pairs per jit step: the encoder's gathers are op-overhead
+    # bound on TPU (batch 4 costs ~the same as batch 1 — docs/PERF.md), so
+    # production eval batches pairs; the scan measures grouped throughput
 
-    def one_pair(key, pts0, mask0, pts1, mask1, t_gt):
-        # key-dependent jitter on BOTH clouds defeats loop-invariant hoisting
-        # of either voxelize->pyramid->encode chain while being geometrically
-        # negligible (0.1 mm)
+    def one_group(key, pts0, mask0, pts1, mask1, t_gt):
+        # key-dependent jitter on BOTH clouds of EVERY group member defeats
+        # loop-invariant hoisting while being geometrically negligible
+        # (0.1 mm); the group stacks GROUP jittered instances
         k_j0, k_j1, k_e = jax.random.split(key, 3)
-        pts0 = pts0 + jax.random.normal(k_j0, pts0.shape) * 1e-4
-        pts1 = pts1 + jax.random.normal(k_j1, pts1.shape) * 1e-4
-        zeros = jnp.zeros((1, 1, 3))
-        zmask = jnp.zeros((1, 1), bool)
+        p0 = pts0[None] + jax.random.normal(
+            k_j0, (GROUP,) + pts0.shape) * 1e-4
+        p1 = pts1[None] + jax.random.normal(
+            k_j1, (GROUP,) + pts1.shape) * 1e-4
+        m0 = jnp.broadcast_to(mask0[None], (GROUP,) + mask0.shape)
+        m1 = jnp.broadcast_to(mask1[None], (GROUP,) + mask1.shape)
+        tg = jnp.broadcast_to(t_gt[None], (GROUP, 4, 4))
+        zeros = jnp.zeros((GROUP, 1, 3))
+        zmask = jnp.zeros((GROUP, 1), bool)
         batch = make_pair_batch(
-            pts0[None], mask0[None], pts1[None], mask1[None],
-            zeros, zmask, zeros, zmask, t_gt[None],
+            p0, m0, p1, m1, zeros, zmask, zeros, zmask, tg,
             voxel_size=c.voxel_size, capacities=c.capacities,
             conv1_kernel_size=c.conv1_kernel_size,
             corr_cap=c.corr_capacity_per_point,
@@ -113,20 +120,22 @@ def main():
                                 batch.feats0, batch.pyramid0, False)
         f1, _ = trainer._encode(state.params, state.batch_stats,
                                 batch.feats1, batch.pyramid1, False)
-        return tester._eval_one(
-            state.params, state.batch_stats, f0[0], f1[0],
-            batch.xyz0[0], batch.xyz1[0],
-            batch.pyramid0.levels[0].mask[0], batch.pyramid1.levels[0].mask[0],
-            batch.t_gt[0], k_e,
-        )
+        keys = jax.random.split(k_e, GROUP)
+        return jax.vmap(
+            tester._eval_one, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)
+        )(state.params, state.batch_stats, f0, f1,
+          batch.xyz0, batch.xyz1,
+          batch.pyramid0.levels[0].mask, batch.pyramid1.levels[0].mask,
+          batch.t_gt, keys)
 
     @jax.jit
     def bench_scan(key, raw):
         pts0, mask0, pts1, mask1, t_gt = raw
 
         def body(carry, k):
-            t_est, rte, rre, fit = one_pair(k, pts0, mask0, pts1, mask1, t_gt)
-            return carry + rte, (rte, rre)
+            t_est, rte, rre, fit = one_group(
+                k, pts0, mask0, pts1, mask1, t_gt)
+            return carry + jnp.sum(rte), (rte, rre)
 
         keys = jax.random.split(key, SCAN_ITERS)
         acc, outs = jax.lax.scan(body, jnp.zeros(()), keys)
@@ -143,7 +152,8 @@ def main():
     acc, outs = bench_scan(jax.random.PRNGKey(2), raw)
     jax.block_until_ready(acc)
     dt = time.time() - t0
-    value = SCAN_ITERS / dt
+    n_pairs = SCAN_ITERS * GROUP
+    value = n_pairs / dt
 
     # MFU from XLA's own flop count of the whole compiled pipeline
     mfu = None
@@ -168,10 +178,11 @@ def main():
         )
     )
     print(
-        f"# detail: {SCAN_ITERS} full-pipeline iterations in one dispatch, "
-        f"{dt:.3f}s total ({dt / SCAN_ITERS * 1e3:.1f} ms/pair); "
+        f"# detail: {SCAN_ITERS} iterations x {GROUP}-pair groups in one "
+        f"dispatch, {dt:.3f}s total ({dt / n_pairs * 1e3:.1f} ms/pair); "
         f"compile {compile_s:.1f}s"
-        + (f"; MFU ~{mfu * 100:.1f}% of v5e bf16 peak" if mfu else ""),
+        + (f"; MFU ~{mfu * 100:.2f}% of v5e bf16 peak (gather-bound "
+           f"pipeline, see docs/PERF.md)" if mfu else ""),
         file=sys.stderr,
     )
 
@@ -190,7 +201,7 @@ def main():
             t0 = time.time()
             r = run(jax.random.PRNGKey(2), raw)
             jax.block_until_ready(r)
-            ms = (time.time() - t0) / SCAN_ITERS * 1e3
+            ms = (time.time() - t0) / (SCAN_ITERS * GROUP) * 1e3
             print(f"# stage {label:<24}{ms:8.1f} ms/pair", file=sys.stderr)
             return ms
 
@@ -210,13 +221,17 @@ def main():
         def _make_batch(key, raw):
             pts0, mask0, pts1, mask1, t_gt = raw
             k0, k1, _ = jax.random.split(key, 3)
-            pts0 = pts0 + jax.random.normal(k0, pts0.shape) * 1e-4
-            pts1 = pts1 + jax.random.normal(k1, pts1.shape) * 1e-4
-            zeros = jnp.zeros((1, 1, 3))
-            zmask = jnp.zeros((1, 1), bool)
+            p0 = pts0[None] + jax.random.normal(
+                k0, (GROUP,) + pts0.shape) * 1e-4
+            p1 = pts1[None] + jax.random.normal(
+                k1, (GROUP,) + pts1.shape) * 1e-4
+            m0 = jnp.broadcast_to(mask0[None], (GROUP,) + mask0.shape)
+            m1 = jnp.broadcast_to(mask1[None], (GROUP,) + mask1.shape)
+            tg = jnp.broadcast_to(t_gt[None], (GROUP, 4, 4))
+            zeros = jnp.zeros((GROUP, 1, 3))
+            zmask = jnp.zeros((GROUP, 1), bool)
             return make_pair_batch(
-                pts0[None], mask0[None], pts1[None], mask1[None],
-                zeros, zmask, zeros, zmask, t_gt[None],
+                p0, m0, p1, m1, zeros, zmask, zeros, zmask, tg,
                 voxel_size=c.voxel_size, capacities=c.capacities,
                 conv1_kernel_size=c.conv1_kernel_size,
                 corr_cap=c.corr_capacity_per_point,
@@ -226,7 +241,7 @@ def main():
 
         t_prep = stage_scan(prep_only, "voxelize+pyramid")
         t_enc = stage_scan(prep_encode, "+ encoder fwd x2")
-        total_ms = dt / SCAN_ITERS * 1e3
+        total_ms = dt / n_pairs * 1e3
         print(f"# stage {'encoder alone':<24}{t_enc - t_prep:8.1f} ms/pair",
               file=sys.stderr)
         print(f"# stage {'match+RANSAC+errors':<24}{total_ms - t_enc:8.1f}"

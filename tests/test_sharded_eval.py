@@ -65,3 +65,28 @@ def test_predator_sharded_eval(rng):
     assert len(stats.rte) == 4
     assert all(np.isfinite(stats.rte))
     assert all(r < 1000 for r in stats.rte)
+
+
+def test_sequence_parallel_chamfer_matches_single(rng):
+    """Query-sharded Chamfer over the mesh == single-device, value AND grad."""
+    from apr_tpu.ops.chamfer import chamfer_distance
+    from apr_tpu.parallel.chamfer_sp import chamfer_distance_sp
+
+    a = rng.uniform(-20, 20, (512, 3)).astype(np.float32)
+    b = rng.uniform(-20, 20, (768, 3)).astype(np.float32)
+    am = np.ones(512, bool); am[490:] = False
+    bm = np.ones(768, bool); bm[700:] = False
+
+    mesh = make_mesh(jax.devices()[:4])
+    f_sp = chamfer_distance_sp(mesh)
+    args = (jax.numpy.asarray(a), jax.numpy.asarray(b),
+            jax.numpy.asarray(am), jax.numpy.asarray(bm))
+
+    v_sp, (ga_sp, gb_sp) = jax.value_and_grad(f_sp, argnums=(0, 1))(*args)
+    v_1, (ga_1, gb_1) = jax.value_and_grad(
+        chamfer_distance, argnums=(0, 1))(*args)
+    np.testing.assert_allclose(float(v_sp), float(v_1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_sp), np.asarray(ga_1),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb_sp), np.asarray(gb_1),
+                               rtol=1e-4, atol=1e-6)
