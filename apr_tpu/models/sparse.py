@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from apr_tpu.ops.hashing import INVALID_KEY, pack_coords
+from apr_tpu.ops.hashing import COORD_BITS, INVALID_KEY, pack_coords
 from apr_tpu.ops.voxelize import VoxelGrid
 
 
@@ -127,6 +127,106 @@ def kernel_map_up(
     return maps.T
 
 
+def _zrun_maps(
+    support_keys: jnp.ndarray,   # [S] sorted packed keys (INVALID padding)
+    base_keys: jnp.ndarray,      # [C] packed key of each base coordinate
+    base_coords: jnp.ndarray,    # [C, 3] base coords (support-level units)
+    base_mask: jnp.ndarray,      # [C]
+    kernel_size: int,
+) -> jnp.ndarray:
+    """All k^3 offset lookups with k^2 sorted queries + z-run decoding.
+
+    For a fixed (ox, oy), the k targets pack(base + (ox, oy, oz)),
+    oz = -r..r, are CONSECUTIVE int32 keys (the z field is the low bits of
+    apr_tpu.ops.hashing.pack_coords).  Present targets therefore occupy
+    consecutive positions in the sorted support keys starting at
+    j0 = searchsorted(keys, first_target): one searchsorted over k^2 * C
+    queries (vs k^3 * C in the naive form) plus k shifted gathers per
+    column decodes every oz slot.  Measured ~4x faster than the one-big-
+    sort lookup for the 5^3 conv1 map at KITTI scale on v5e.
+
+    Returns [K, C] row-major over offsets_grid ordering (x, y major, z
+    fastest), sentinel S.
+    """
+    s = support_keys.shape[0]
+    c = base_keys.shape[0]
+    r = kernel_size // 2
+    k = kernel_size
+    two_b = 2 * COORD_BITS
+
+    xy = [(ox, oy) for ox in range(-r, r + 1) for oy in range(-r, r + 1)]
+    # field-overflow guard: pack() arithmetic is only linear while every
+    # shifted component stays inside its 10-bit field
+    lo, hi = -(1 << (COORD_BITS - 1)), (1 << (COORD_BITS - 1)) - 1
+    cx, cy, cz = base_coords[:, 0], base_coords[:, 1], base_coords[:, 2]
+    z_ok = (cz - r >= lo) & (cz + r <= hi)
+
+    t0s = []
+    oks = []
+    for ox, oy in xy:
+        delta = (ox << two_b) + (oy << COORD_BITS) - r
+        ok = (base_mask & z_ok
+              & (cx + ox >= lo) & (cx + ox <= hi)
+              & (cy + oy >= lo) & (cy + oy <= hi))
+        t0s.append(jnp.where(ok, base_keys + delta, INVALID_KEY))
+        oks.append(ok)
+    t0 = jnp.stack(t0s)          # [G, C] first-target key per column
+    ok = jnp.stack(oks)          # [G, C]
+
+    j0 = jnp.searchsorted(
+        support_keys, t0.reshape(-1), method="sort"
+    ).astype(jnp.int32).reshape(len(xy), c)
+
+    # decode all groups in one gather: positions j0..j0+k-1 hold every
+    # present target; t = value - first_target identifies the oz slot
+    offs_m = jnp.arange(k, dtype=jnp.int32)
+    idx = jnp.minimum(j0[:, None, :] + offs_m[None, :, None], s - 1)
+    v = support_keys[idx.reshape(-1)].reshape(len(xy), k, c)
+    t = v - t0[:, None, :]
+    slots = []
+    for oz in range(k):
+        hit = (t == oz) & ok[:, None, :]
+        slots.append(jnp.min(jnp.where(hit, idx, s), axis=1))  # [G, C]
+    stacked = jnp.stack(slots, axis=1)          # [G, k, C]
+    return stacked.reshape(len(xy) * k, c)      # offsets_grid order
+
+
+
+def kernel_map_same_fast(level: SparseLevel, kernel_size: int = 3):
+    """kernel_map_same via the z-run decomposition (exact for in-range
+    coords; out-of-field coords map to the sentinel instead of clipping)."""
+    maps = _zrun_maps(level.keys, level.keys, level.coords, level.mask,
+                      kernel_size)
+    return maps.T
+
+
+def kernel_map_down_fast(coarse: SparseLevel, fine: SparseLevel,
+                         kernel_size: int = 3):
+    """kernel_map_down via the z-run decomposition."""
+    base = coarse.coords * 2
+    base_keys = jnp.where(coarse.mask, pack_coords(base), INVALID_KEY)
+    maps = _zrun_maps(fine.keys, base_keys, base, coarse.mask, kernel_size)
+    return maps.T
+
+
+def transpose_kernel_map(down: jnp.ndarray, n_fine: int,
+                         n_coarse: int) -> jnp.ndarray:
+    """Derive the up (transposed-conv) map from the down map by scatter.
+
+    down[c, j] = f  <=>  up[f, j] = c (the maps are structural adjoints,
+    see kernel_map_up); one [C_coarse * K] scatter replaces the whole
+    lookup.  Sentinel rows of ``down`` land in a dropped overflow row.
+    """
+    k = down.shape[1]
+    rows = jnp.broadcast_to(
+        jnp.arange(down.shape[0], dtype=jnp.int32)[:, None], down.shape)
+    cols = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :],
+                            down.shape)
+    out = jnp.full((n_fine + 1, k), n_coarse, jnp.int32)
+    out = out.at[jnp.minimum(down, n_fine), cols].set(rows)
+    return out[:n_fine]
+
+
 def downsample_level(level: SparseLevel, capacity: int) -> SparseLevel:
     """Coarsen by 2: unique floor-halved coords, fixed capacity."""
     coarse_coords = level.coords >> 1  # floor division incl. negatives
@@ -170,16 +270,17 @@ def build_pyramid(
     for cap in capacities[1:]:
         levels.append(downsample_level(levels[-1], cap))
 
-    same_maps = tuple(kernel_map_same(lv, 3) for lv in levels)
+    same_maps = tuple(kernel_map_same_fast(lv, 3) for lv in levels)
     down_maps = tuple(
-        kernel_map_down(levels[l + 1], levels[l], 3)
+        kernel_map_down_fast(levels[l + 1], levels[l], 3)
         for l in range(len(levels) - 1)
     )
     up_maps = tuple(
-        kernel_map_up(levels[l], levels[l + 1], 3)
+        transpose_kernel_map(down_maps[l], n_fine=capacities[l],
+                             n_coarse=capacities[l + 1])
         for l in range(len(levels) - 1)
     )
-    conv1_map = kernel_map_same(levels[0], conv1_kernel_size)
+    conv1_map = kernel_map_same_fast(levels[0], conv1_kernel_size)
     return SparsePyramid(
         levels=tuple(levels),
         same_maps=same_maps,

@@ -219,3 +219,35 @@ def test_resunet_grads_finite_and_descend(rng):
         params = optax.apply_updates(params, upd)
         losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+# --- z-run fast kernel maps --------------------------------------------------
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_kernel_map_same_fast_matches_naive(rng, k):
+    from apr_tpu.models.sparse import kernel_map_same, kernel_map_same_fast
+
+    grid, _ = _grid(rng, n=800, span=8.0, voxel=0.5, cap=1024)
+    lv = SparseLevel(grid.coords, grid.keys, grid.mask)
+    ref = np.asarray(kernel_map_same(lv, k))
+    fast = np.asarray(kernel_map_same_fast(lv, k))
+    np.testing.assert_array_equal(fast, ref)
+
+
+def test_kernel_map_down_fast_and_transpose_match_naive(rng):
+    from apr_tpu.models.sparse import (
+        kernel_map_down, kernel_map_down_fast, kernel_map_up,
+        transpose_kernel_map,
+    )
+
+    grid, _ = _grid(rng, n=800, span=8.0, voxel=0.5, cap=1024)
+    lv0 = SparseLevel(grid.coords, grid.keys, grid.mask)
+    lv1 = downsample_level(lv0, 512)
+    ref_down = np.asarray(kernel_map_down(lv1, lv0, 3))
+    fast_down = np.asarray(kernel_map_down_fast(lv1, lv0, 3))
+    np.testing.assert_array_equal(fast_down, ref_down)
+
+    ref_up = np.asarray(kernel_map_up(lv0, lv1, 3))
+    t_up = np.asarray(transpose_kernel_map(
+        jnp.asarray(ref_down), n_fine=1024, n_coarse=512))
+    np.testing.assert_array_equal(t_up, ref_up)
