@@ -126,7 +126,27 @@ def gt_correspondences(
     n0, n1 = xyz0.shape[0], xyz1.shape[0]
     if mask0 is None:
         mask0 = jnp.ones((n0,), bool)
+    if mask1 is None:
+        mask1 = jnp.ones((n1,), bool)
     warped = apply_transform(xyz0, transform)
+    if cap_per_point == 1:
+        # cap 1 = nearest-within-radius: the cell-key windowed NN is exact
+        # for every pair within cell_size == radius and replaces the
+        # O(N0*N1) brute search (measured 936 -> ~25 ms per 4-pair batch at
+        # KITTI scale on v5e — the single hottest op of batch assembly)
+        from apr_tpu.ops.chamfer_window import windowed_nn_distances
+
+        d2, idx = windowed_nn_distances(
+            warped, xyz1, mask0, mask1,
+            cell_size=float(radius), tile=1024, window=2048,
+        )
+        valid = (idx < n1) & (d2 <= radius * radius) & mask0
+        src = jnp.arange(n0, dtype=jnp.int32)
+        return Correspondences(
+            src_idx=src,
+            tgt_idx=jnp.where(valid, idx, 0).astype(jnp.int32),
+            mask=valid,
+        )
     nbr = radius_neighbors(
         warped, xyz1, radius, cap_per_point, q_mask=mask0, s_mask=mask1
     )  # [N0, cap]

@@ -155,3 +155,28 @@ def test_find_nn_and_pose_estimation(rng):
         jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(f), jnp.asarray(f)
     )
     np.testing.assert_allclose(np.asarray(est), t, atol=1e-4)
+
+
+def test_gt_correspondences_cap1_windowed_matches_brute(rng):
+    """cap_per_point=1 (the FCGF default) takes the windowed-NN fast path;
+    it must agree with the brute radius search on matches and indices."""
+    from apr_tpu.ops.neighbors import radius_neighbors
+
+    t = _rigid(rng)
+    x0 = rng.uniform(-20, 20, size=(700, 3)).astype(np.float32)
+    x1 = np.asarray(apply_transform(
+        jnp.asarray(x0[:500]), jnp.asarray(t)))  # only 500 have a match
+    x1 = np.concatenate([x1, rng.uniform(40, 60, (200, 3)).astype(np.float32)])
+    m0 = np.ones(700, bool); m0[650:] = False
+    m1 = np.ones(700, bool); m1[680:] = False
+    corr = gt_correspondences(
+        jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(t),
+        radius=0.3, cap_per_point=1,
+        mask0=jnp.asarray(m0), mask1=jnp.asarray(m1))
+    warped = np.asarray(apply_transform(jnp.asarray(x0), jnp.asarray(t)))
+    brute = np.asarray(radius_neighbors(
+        jnp.asarray(warped), jnp.asarray(x1), 0.3, 1,
+        q_mask=jnp.asarray(m0), s_mask=jnp.asarray(m1)))[:, 0]
+    mask = np.asarray(corr.mask)
+    np.testing.assert_array_equal(mask, brute < 700)
+    np.testing.assert_array_equal(np.asarray(corr.tgt_idx)[mask], brute[mask])

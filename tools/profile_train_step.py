@@ -27,12 +27,13 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chamfer", default="exact")
+    ap.add_argument("--chamfer", default="window")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--ratio", type=int, default=4)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--only", default="",
-                    help="comma list: step,nogen,fwd,chamfer (default all)")
+                    help="comma list: step,nogen,fwd,chamfer,sustained "
+                         "(default all but sustained)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -115,6 +116,22 @@ def main():
         )
 
     trainer = get_trainer(cfg)
+
+    # raw padded arrays (kept for the sustained build+step measurement)
+    _cols = [[] for _ in range(9)]
+    for s_ in range(args.batch):
+        d = synthetic_pair(s_, n_points=30000, apc_points=60000,
+                           distance=15.0, extent=60.0)
+        vals = [*pad_points(d["points0"], cfg.point_capacity),
+                *pad_points(d["points1"], cfg.point_capacity),
+                *pad_points(d["apc0"], cfg.apc_capacity),
+                *pad_points(d["apc1"], cfg.apc_capacity), d["t_gt"]]
+        for col, v in zip(_cols, vals):
+            col.append(v)
+    (batch_pts0, batch_m0, batch_pts1, batch_m1, batch_apc0, batch_am0,
+     batch_apc1, batch_am1, batch_tg) = [
+        jnp.asarray(np.stack(c)) for c in _cols]
+
     batch = build(cfg)
     jax.block_until_ready(batch.feats0)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
@@ -122,6 +139,25 @@ def main():
     if only is None or "step" in only:
         scan_time(lambda st, k: trainer.train_step(st, batch, k)[0],
                   state, "full train_step")
+
+    if only is not None and "sustained" in only:
+        # production steady state on ONE chip: the on-device batch build
+        # (voxelize + pyramids + GT correspondences) serializes with the
+        # train step — this measures build+step per iteration
+        def build_and_step(st, k):
+            kj, ke = jax.random.split(k)
+            j = jax.random.normal(kj, batch_pts0.shape) * 1e-4
+            b = make_pair_batch(
+                batch_pts0 + j, batch_m0, batch_pts1 + j, batch_m1,
+                batch_apc0, batch_am0, batch_apc1, batch_am1, batch_tg,
+                voxel_size=cfg.voxel_size, capacities=cfg.capacities,
+                conv1_kernel_size=cfg.conv1_kernel_size,
+                corr_cap=cfg.corr_capacity_per_point,
+                search_multiplier=(
+                    cfg.positive_pair_search_voxel_size_multiplier),
+            )
+            return trainer.train_step(st, b, ke)[0]
+        scan_time(build_and_step, state, "sustained (batch build + step)")
 
     if only is None or "nogen" in only:
         cfg_c = APRConfig(**{**cfg.__dict__,
