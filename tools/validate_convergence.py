@@ -27,7 +27,14 @@ def main():
     ap.add_argument("--eval_pairs", type=int, default=8)
     ap.add_argument("--chamfer", default=None,
                     help="override chamfer_mode (default: config default)")
+    ap.add_argument("--compute", default=None,
+                    help="override compute_dtype (float32 | bfloat16)")
     args = ap.parse_args()
+    # NOTE: constant-LR training on 8 synthetic pairs OVERFITS past ~400
+    # steps (held-out recall 0.875 @400 but ~0.3 @1600 for BOTH f32 and
+    # bf16 — measured on v5e, so it is a data/schedule effect, not a
+    # numerics one; production configs decay LR per epoch).  Keep --steps
+    # near the default for a meaningful quality gate.
 
     import jax
     import jax.numpy as jnp
@@ -44,6 +51,8 @@ def main():
     kw = {}
     if args.chamfer:
         kw["chamfer_mode"] = args.chamfer
+    if args.compute:
+        kw["compute_dtype"] = args.compute
     cfg = APRConfig(
         trainer="GenerativePairTrainer",
         model="ResUNetBN2",
