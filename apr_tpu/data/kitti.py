@@ -349,7 +349,7 @@ class KittiComplementDataset(PairDataset):
         if c.d3feat_augmentation and self.phase == "train":
             # Predator flavor (kitti.py:494-517) replaces the FCGF-style
             # rotation/scale below
-            return d3feat_augment(
+            out = d3feat_augment(
                 dict(points0=xyz0.astype(np.float32),
                      points1=xyz1.astype(np.float32),
                      apc0=apc0.astype(np.float32),
@@ -360,6 +360,14 @@ class KittiComplementDataset(PairDataset):
                 shift_range=c.augment_shift_range,
                 scale_min=c.min_scale, scale_max=c.max_scale,
             )
+            # the key-frame-radius APC crop applies AFTER augmentation on
+            # this branch too (reference order, :601-628)
+            for pk, ak in (("points0", "apc0"), ("points1", "apc1")):
+                apc = out[ak]
+                if len(apc):
+                    r2 = (out[pk] ** 2).sum(-1).max()
+                    out[ak] = apc[(apc ** 2).sum(-1) < r2]
+            return out
 
         # random rotation + re-centering (test_augmentation hard-coded True
         # for KITTI, :139 + :600-614).  NOTE reference quirk preserved: the

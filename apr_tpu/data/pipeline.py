@@ -91,6 +91,17 @@ class PairLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            # re-check stop while blocked on the full queue so an abandoned
+            # consumer can't strand this thread (and its prefetched batches)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in range(nb):
@@ -98,10 +109,11 @@ class PairLoader:
                         return
                     idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                     pairs = [self.dataset.get_pair(int(i)) for i in idxs]
-                    q.put(("ok", pairs))
-                q.put(("done", None))
+                    if not put(("ok", pairs)):
+                        return
+                put(("done", None))
             except Exception as e:  # surface worker errors to the consumer
-                q.put(("err", e))
+                put(("err", e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -133,7 +133,12 @@ class KPConvLayer(nn.Module):
     so results match; with constant influence the pruning is semantic and
     this layer intentionally keeps ALL in-radius neighbors.  The per-query
     (min over neighbors) deformed-KP distances are sown under
-    ('deform', 'min_d2') for fitting regularizers.
+    ('deform', 'min_d2') so a caller CAN build a KPConv-style p2p fitting
+    regularizer (apply with mutable=['deform']); note the reference repo
+    ships NO such loss — Predator_APR/models/blocks.py keeps the torch
+    running variables but nothing in its trainers consumes them, and its
+    shipped configs disable deformable entirely — so no trainer here wires
+    one either (capability parity, not a gap).
     """
 
     out_channels: int

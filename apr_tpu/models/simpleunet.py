@@ -51,14 +51,18 @@ class SimpleUNet(nn.Module):
         outs.append(x)
         for l in range(1, levels):
             x = SparseConv(self.channels[l], 27, name=f"conv{l + 1}")(
-                x, pyramid.down_maps[l - 1], masks[l]
+                x, pyramid.down_maps[l - 1], masks[l],
+                table_t=pyramid.up_maps[l - 1], in_mask=masks[l - 1],
+                reverse_k=False,
             )
             x = nn.relu(norm()(x, masks[l], use_running_average=not train))
             outs.append(x)
 
         for l in range(levels - 1, 0, -1):
             x = SparseConv(self.tr_channels[l], 27, name=f"conv{l + 1}_tr")(
-                x, pyramid.up_maps[l - 1], masks[l - 1]
+                x, pyramid.up_maps[l - 1], masks[l - 1],
+                table_t=pyramid.down_maps[l - 1], in_mask=masks[l],
+                reverse_k=False,
             )
             x = nn.relu(norm()(x, masks[l - 1], use_running_average=not train))
             x = jnp.concatenate([x, outs[l - 1]], axis=-1)

@@ -50,7 +50,10 @@ def chamfer_distance_sp(mesh, axis: str = "data"):
     inputs may be passed unsharded (shard_map partitions them).  Row counts
     must divide the mesh size (pad with masked rows otherwise).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8 spelling
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     sharded = P(axis, None)
     sharded1 = P(axis)
@@ -61,24 +64,23 @@ def chamfer_distance_sp(mesh, axis: str = "data"):
     # constants (unvarying) while the body output varies over 'data'; the
     # collective correctness here is the explicit psum, not the rep checker
     try:
-        ab = shard_map(
+        directed = shard_map(
             _directed_sharded, mesh=mesh,
             in_specs=(sharded, repl, sharded1, repl1),
             out_specs=P(), check_vma=False,
         )
     except TypeError:  # older jax spells it check_rep
-        ab = shard_map(
+        directed = shard_map(
             _directed_sharded, mesh=mesh,
             in_specs=(sharded, repl, sharded1, repl1),
             out_specs=P(), check_rep=False,
         )
-    ba = ab
 
     def f(a, b, a_mask=None, b_mask=None):
         if a_mask is None:
             a_mask = jnp.ones((a.shape[0],), bool)
         if b_mask is None:
             b_mask = jnp.ones((b.shape[0],), bool)
-        return ab(a, b, a_mask, b_mask) + ba(b, a, b_mask, a_mask)
+        return directed(a, b, a_mask, b_mask) + directed(b, a, b_mask, a_mask)
 
     return f

@@ -133,12 +133,21 @@ def gt_correspondences(
         # cap 1 = nearest-within-radius: the cell-key windowed NN is exact
         # for every pair within cell_size == radius and replaces the
         # O(N0*N1) brute search (measured 936 -> ~25 ms per 4-pair batch at
-        # KITTI scale on v5e — the single hottest op of batch assembly)
+        # KITTI scale on v5e — the single hottest op of batch assembly).
+        # Window bound: a tile's support window spans the 3 adjacent
+        # x-slabs; with tile=512 sorted queries a slab-window of 8192
+        # covers >5000 voxels per 3 x radius of x-depth — beyond worst-case
+        # voxelized LiDAR density (a 0.45 m slab over a 50 m x 3 m section
+        # of 0.3 m voxels holds <= ~1700).  Overflow truncates the +x edge
+        # (those matches are silently dropped), so window is sized for the
+        # dense-ground worst case, not the average
+        # (tests/test_registration.py::test_gt_correspondences_dense_slab).
         from apr_tpu.ops.chamfer_window import windowed_nn_distances
 
         d2, idx = windowed_nn_distances(
             warped, xyz1, mask0, mask1,
-            cell_size=float(radius), tile=1024, window=2048,
+            cell_size=float(radius), tile=512,
+            window=min(8192, max(512, xyz1.shape[0])),
         )
         valid = (idx < n1) & (d2 <= radius * radius) & mask0
         src = jnp.arange(n0, dtype=jnp.int32)

@@ -56,16 +56,29 @@ def _batch_iter(dataset, indices, config: APRConfig, prefetch: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
+    def put(item):
+        # re-check stop while blocked on the full queue: if the consumer
+        # abandons the generator mid-epoch, a bare q.put would block this
+        # thread forever and pin prefetched KITTI-scale batches in memory
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for i in indices:
                 if stop.is_set():
                     return
-                q.put(("ok", pair_to_kp_batch(dataset.get_pair(int(i)),
-                                              config)))
-            q.put(("done", None))
+                if not put(("ok", pair_to_kp_batch(dataset.get_pair(int(i)),
+                                                   config))):
+                    return
+            put(("done", None))
         except Exception as e:  # surface worker errors to the consumer
-            q.put(("err", e))
+            put(("err", e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

@@ -62,3 +62,34 @@ def test_embed_features_rgb(rng):
     colors = embed_features_rgb(feats, method="pca")
     assert colors.shape == (200, 3)
     assert (colors >= 0).all() and (colors <= 1).all()
+
+
+def test_simplenet_gradients(rng, jax_key):
+    """Strided/up SparseConvs must pass their transpose maps — jax.grad
+    through every SimpleNet conv (regression: the adjoint-backward default
+    of table_t=table broke backprop for non-same-level convs)."""
+    import jax
+    import jax.numpy as jnp
+    from apr_tpu.models.simpleunet import SimpleUNet
+    from apr_tpu.models.sparse import build_pyramid
+    from apr_tpu.ops.voxelize import voxelize
+
+    pts = jnp.asarray(rng.uniform(-8, 8, (500, 3)).astype(np.float32))
+    grid = voxelize(pts, 1.0, 256, jnp.ones(500, bool))
+    pyr = build_pyramid(grid, (256, 128, 64), conv1_kernel_size=3)
+    pyr = jax.tree.map(lambda x: x[None], pyr)
+    model = SimpleUNet(out_channels=8, channels=(8, 16, 16),
+                       tr_channels=(8, 8, 16))
+    feats = jnp.ones((1, 256, 1))
+    vars_ = model.init(jax_key, feats, pyr, False)
+
+    def loss(p):
+        out = model.apply({"params": p,
+                           "batch_stats": vars_.get("batch_stats", {})},
+                          feats, pyr, False)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(vars_["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)

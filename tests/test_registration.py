@@ -180,3 +180,19 @@ def test_gt_correspondences_cap1_windowed_matches_brute(rng):
     mask = np.asarray(corr.mask)
     np.testing.assert_array_equal(mask, brute < 700)
     np.testing.assert_array_equal(np.asarray(corr.tgt_idx)[mask], brute[mask])
+
+
+def test_gt_correspondences_dense_slab(rng):
+    """Reviewer repro: thousands of supports inside ONE x-cell (dense
+    ground) must all still match — the window is sized for that case."""
+    n = 4096
+    x0 = np.zeros((n, 3), np.float32)
+    x0[:, 0] = rng.uniform(0, 0.4, n)       # all within one 0.45 m x-cell
+    x0[:, 1] = rng.uniform(-50, 50, n)
+    x0[:, 2] = rng.uniform(-2, 2, n)
+    t = np.eye(4, dtype=np.float32)
+    corr = gt_correspondences(
+        jnp.asarray(x0), jnp.asarray(x0), jnp.asarray(t),
+        radius=0.45, cap_per_point=1)
+    assert bool(np.asarray(corr.mask).all()), (
+        f"only {int(np.asarray(corr.mask).sum())}/{n} matched")

@@ -30,11 +30,10 @@ def main():
     ap.add_argument("--compute", default=None,
                     help="override compute_dtype (float32 | bfloat16)")
     args = ap.parse_args()
-    # NOTE: constant-LR training on 8 synthetic pairs OVERFITS past ~400
-    # steps (held-out recall 0.875 @400 but ~0.3 @1600 for BOTH f32 and
-    # bf16 — measured on v5e, so it is a data/schedule effect, not a
-    # numerics one; production configs decay LR per epoch).  Keep --steps
-    # near the default for a meaningful quality gate.
+    # NOTE: with a CONSTANT LR this protocol overfits the 8 training pairs
+    # past ~400 steps (held-out recall 0.875 @400 but ~0.3 @1600 for BOTH
+    # f32 and bf16 — a schedule/data effect, not numerics).  The loop now
+    # applies the production exp_gamma decay every 25 steps.
 
     import jax
     import jax.numpy as jnp
@@ -100,7 +99,10 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), train_batches[0])
 
     t0 = time.time()
+    steps_per_epoch = 25  # exp_gamma decay cadence (production decays/epoch)
     for step in range(args.steps):
+        if step % steps_per_epoch == 0:
+            state = trainer.set_lr(state, step // steps_per_epoch)
         key = jax.random.PRNGKey(step)
         state, metrics = trainer.train_step(
             state, train_batches[step % len(train_batches)], key)
