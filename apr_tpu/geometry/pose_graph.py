@@ -61,6 +61,32 @@ def se3_log(t: np.ndarray) -> np.ndarray:
             r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]
         ]) * 0.5
         v_inv = np.eye(3) - 0.5 * _hat(omega)
+    elif np.sin(theta) < 1e-6:
+        # theta ~ pi: the vee vector AND sin(theta) both vanish, so the
+        # usual theta/(2 sin theta) * vee form is 0/0 — recover the axis
+        # from the symmetric part instead: R + I = 2 n n^T at theta = pi
+        # (loop-closure edges with ~180 deg relative rotation are common
+        # in multiway registration of opposing scans)
+        a_sym = 0.5 * (r + np.eye(3))
+        diag = np.maximum(np.diag(a_sym), 0.0)
+        k = int(np.argmax(diag))
+        n = a_sym[:, k] / max(np.sqrt(diag[k]), 1e-12)
+        n = n / max(np.linalg.norm(n), 1e-12)
+        # sign is free at exactly pi; keep continuity with the vee vector
+        vee = np.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0],
+                        r[1, 0] - r[0, 1]])
+        if np.dot(n, vee) < 0:
+            n = -n
+        omega = theta * n
+        o_hat = _hat(omega)
+        v_inv = (
+            np.eye(3)
+            - 0.5 * o_hat
+            + (1 - theta * np.cos(theta / 2) / (2 * np.sin(theta / 2)))
+            / theta ** 2 * (o_hat @ o_hat)
+        )
+        ups = v_inv @ t[:3, 3]
+        return np.concatenate([omega, ups])
     else:
         omega = theta / (2 * np.sin(theta)) * np.array([
             r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]

@@ -61,11 +61,17 @@ def est_rigid_robust(
 
     ``weights`` are initial per-correspondence confidences (e.g. feature
     similarity, or a validity mask); after the first iteration they are
-    replaced by the robust kernel exactly as the reference does.
+    replaced by the robust kernel exactly as the reference does.  Rows with
+    ZERO initial weight (the padding of fixed-capacity correspondence
+    buffers — the reference operates on variable-length arrays and has no
+    such rows) stay excluded on EVERY iteration: the robust kernel alone
+    would re-admit them with nonzero weight and let padded points pull the
+    pose.
     """
     n = pts0.shape[0]
     if weights is None:
         weights = jnp.ones((n,), pts0.dtype)
+    support = (weights > 0).astype(pts0.dtype)
 
     def body(i, state):
         pts0_curr, trans, weight, par = state
@@ -76,7 +82,9 @@ def est_rigid_robust(
         )
         trans_curr = make_transform(rotation_from_euler(x[:3]), x[3:])
         pts0_curr = pts0_curr @ trans_curr[:3, :3].T + trans_curr[:3, 3]
-        weight = par / (jnp.linalg.norm(pts0_curr - pts1, axis=1) + par)
+        weight = support * par / (
+            jnp.linalg.norm(pts0_curr - pts1, axis=1) + par
+        )
         return pts0_curr, trans_curr @ trans, weight, par
 
     init = (pts0, jnp.eye(4, dtype=pts0.dtype), weights, jnp.asarray(par_init, pts0.dtype))

@@ -40,6 +40,19 @@ def _sq_dist(a, b):
     return jnp.maximum(d2, 0.0)
 
 
+def _sq_dist_coords(a, b):
+    """Exact per-coordinate differences for METRIC coordinates: the matmul
+    expansion cancels catastrophically at LiDAR magnitudes (~1e-3 m^2 f32
+    error at ||p|| ~ 80 m vs pos_radius^2 = 0.044 — see ops/chamfer.py),
+    flipping pos/neg classification near the thresholds.  Fine for
+    unit-norm features; never for coordinates."""
+    d2 = jnp.zeros((a.shape[0], b.shape[0]), a.dtype)
+    for c in range(a.shape[1]):
+        diff = a[:, c][:, None] - b[:, c][None, :]
+        d2 = d2 + diff * diff
+    return d2
+
+
 def weighted_bce(pred, gt, weight_mask):
     """Reference get_weighted_bce_loss over valid entries only.
 
@@ -73,9 +86,20 @@ def circle_loss(
     log_scale: float = 48.0,
     pos_optimal: float = 0.1,
     neg_optimal: float = 1.4,
+    valid: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
+    """``valid`` marks real (non-padded) rows/cols of the fixed-capacity
+    correspondence matrix.  Real non-positive entries contribute exp(0)=1
+    to the logsumexp exactly like the reference's K x K matrix; PADDED
+    entries (which the reference does not have) are masked to exp(-inf)=0
+    so the loss matches the reference at any fill level."""
     pos_mask = coords_dist < pos_radius
     neg_mask = coords_dist > safe_radius
+    if valid is None:
+        pad_bias = 0.0
+    else:
+        pair_ok = valid[:, None] & valid[None, :]
+        pad_bias = jnp.where(pair_ok, 0.0, -1e9)
 
     row_sel = (jnp.sum(pos_mask, -1) > 0) & (jnp.sum(neg_mask, -1) > 0)
     col_sel = (jnp.sum(pos_mask, -2) > 0) & (jnp.sum(neg_mask, -2) > 0)
@@ -96,16 +120,16 @@ def circle_loss(
     )
 
     lse_pos_row = jax.scipy.special.logsumexp(
-        log_scale * (feats_dist - pos_margin) * pos_weight, axis=-1
+        log_scale * (feats_dist - pos_margin) * pos_weight + pad_bias, axis=-1
     )
     lse_pos_col = jax.scipy.special.logsumexp(
-        log_scale * (feats_dist - pos_margin) * pos_weight, axis=-2
+        log_scale * (feats_dist - pos_margin) * pos_weight + pad_bias, axis=-2
     )
     lse_neg_row = jax.scipy.special.logsumexp(
-        log_scale * (neg_margin - feats_dist) * neg_weight, axis=-1
+        log_scale * (neg_margin - feats_dist) * neg_weight + pad_bias, axis=-1
     )
     lse_neg_col = jax.scipy.special.logsumexp(
-        log_scale * (neg_margin - feats_dist) * neg_weight, axis=-2
+        log_scale * (neg_margin - feats_dist) * neg_weight + pad_bias, axis=-2
     )
 
     loss_row = jax.nn.softplus(lse_pos_row + lse_neg_row) / log_scale
@@ -150,6 +174,11 @@ def metric_loss(
     scores_saliency_tgt: jnp.ndarray,
     pos_radius: float = 0.21,
     safe_radius: float = 0.75,
+    # NOTE: the overlap BCE ground truth comes from the caller-supplied
+    # correspondence set, which the dataloader builds at ITS overlap
+    # radius (reference parity: the reference computes GT overlap in the
+    # dataloader too); this value is accepted for config symmetry but does
+    # not recompute membership
     overlap_radius: float = 0.45,
     matchability_radius: float = 0.3,
     pos_margin: float = 0.1,
@@ -205,7 +234,7 @@ def metric_loss(
     tp = tgt_pcd[pt]
     sf = src_feats[ps]
     tf = tgt_feats[pt]
-    coords_dist = jnp.sqrt(_sq_dist(sp, tp))
+    coords_dist = jnp.sqrt(_sq_dist_coords(sp, tp))
     feats_dist = jnp.sqrt(_sq_dist(sf, tf))
     # neutralize padded rows/cols: neither positive nor negative
     neutral = 0.5 * (pos_radius + safe_radius)
@@ -214,9 +243,12 @@ def metric_loss(
 
     closs = circle_loss(
         coords_dist, feats_dist, pos_radius, safe_radius,
-        pos_margin, neg_margin, log_scale,
+        pos_margin, neg_margin, log_scale, valid=pick_ok,
     )
-    recall = feature_match_recall(coords_dist, feats_dist, pos_radius)
+    # recall argmin must not pick padded columns (their feats are real
+    # clipped points; a padded winner would count a valid row as a miss)
+    feats_for_recall = jnp.where(bad[None, :], jnp.inf, feats_dist)
+    recall = feature_match_recall(coords_dist, feats_for_recall, pos_radius)
 
     return dict(
         circle_loss=closs,

@@ -96,13 +96,36 @@ def hardest_contrastive_loss(
     d01_arg = s1[jnp.argmin(d01, 1)]
     d10_arg = s0[jnp.argmin(d10, 1)]
 
-    # exclude hardest negatives that are themselves positive pairs
-    span = jnp.int32(max(n0, n1))
-    pos_keys = jnp.sort(
-        jnp.where(pos_mask, pos_src * span + pos_tgt, jnp.iinfo(jnp.int32).max)
-    )
-    not_pos0 = ~_member(pos_keys, i0 * span + d01_arg)
-    not_pos1 = ~_member(pos_keys, d10_arg * span + i1)
+    # Exclude hardest negatives that are themselves positive pairs.  The
+    # naive pair key src * max(n0, n1) + tgt overflows int32 at full KITTI
+    # scale (65536 flattened rows at batch 4 already needs 2^32), so the
+    # subsample side of each pair is RANK-COMPRESSED into its num_hn-sized
+    # subsample: candidates come from s0/s1 by construction, and a positive
+    # partner outside the subsample can never equal a candidate anyway.
+    # Key bound: (num_hn + 1) * max(n0, n1) — asserted < 2^31.
+    big = jnp.iinfo(jnp.int32).max
+    assert (num_hn_samples + 1) * max(n0, n1) < 2 ** 31, (
+        "pair-key encoding would overflow int32; lower num_hn_samples "
+        "or the flattened buffer size")
+
+    def rank_in(sample, sample_ok, x):
+        """Exact index of x in sorted(valid sample) else num_hn (sentinel)."""
+        sorted_s = jnp.sort(jnp.where(sample_ok, sample, big))
+        slot = jnp.clip(jnp.searchsorted(sorted_s, x), 0,
+                        sample.shape[0] - 1)
+        return jnp.where(sorted_s[slot] == x, slot,
+                         sample.shape[0]).astype(jnp.int32)
+
+    stride = jnp.int32(num_hn_samples + 1)
+    # direction 0: pairs (anchor src, candidate in s1)
+    keys0 = jnp.sort(jnp.where(
+        pos_mask, pos_src * stride + rank_in(s1, s1ok, pos_tgt), big))
+    not_pos0 = ~_member(keys0, i0 * stride + rank_in(s1, s1ok, d01_arg))
+    # direction 1: pairs (candidate in s0, anchor tgt)
+    span1 = jnp.int32(n1)
+    keys1 = jnp.sort(jnp.where(
+        pos_mask, rank_in(s0, s0ok, pos_src) * span1 + pos_tgt, big))
+    not_pos1 = ~_member(keys1, rank_in(s0, s0ok, d10_arg) * span1 + i1)
 
     pos_d2 = jnp.sum((pf0 - pf1) ** 2, 1)
     pos_terms = jax.nn.relu(pos_d2 - pos_thresh)
@@ -184,7 +207,7 @@ def triplet_loss(
     n1 = feats1.shape[0]
     if mask1 is None:
         mask1 = jnp.ones((n1,), bool)
-    k_pos, k_neg = jax.random.split(key)
+    k_pos, k_neg, k_pick = jax.random.split(key, 3)
     pidx, pok = _sample_without_replacement(k_pos, pos_mask, num_pos)
     pf0 = feats0[jnp.clip(pos_src[pidx], 0, feats0.shape[0] - 1)]
     pf1 = feats1[jnp.clip(pos_tgt[pidx], 0, n1 - 1)]
@@ -197,7 +220,9 @@ def triplet_loss(
     if hardest:
         d_neg = jnp.sqrt(jnp.min(d2, 1))
     else:
-        pick = jax.random.randint(key, (num_pos,), 0, num_hn_samples)
+        # fresh subkey: reusing the parent key would correlate the picks
+        # with the k_pos / k_neg streams derived from it
+        pick = jax.random.randint(k_pick, (num_pos,), 0, num_hn_samples)
         d_neg = jnp.sqrt(d2[jnp.arange(num_pos), pick])
     w = (pok & jnp.isfinite(d_neg)).astype(jnp.float32)
     terms = jax.nn.relu(margin + d_pos - jnp.where(w > 0, d_neg, 0.0))

@@ -107,6 +107,15 @@ def ransac_pose(
         edge_ok = jax.vmap(_edge_length_ok, in_axes=(0, 0, None))(
             s, t, edge_length_similarity
         )
+        # Open3D samples DISTINCT correspondence indices; independent draws
+        # can repeat (~0.6% of 4-tuples at 1000 valid, worse when few are
+        # valid), making the tuple effectively (n-1)-point and degenerate
+        # for the fit while trivially passing the edge checker (0 >= 0.9*0)
+        dup = jnp.any(
+            (sample_chunk[:, :, None] == sample_chunk[:, None, :])
+            & ~jnp.eye(ransac_n, dtype=bool)[None], axis=(1, 2)
+        )
+        edge_ok = edge_ok & ~dup
         # Newton-polar fit: vmapped 3x3 SVD is pathologically slow on TPU.
         # Reflective (det<0) solutions from degenerate samples are gated out.
         transforms = jax.vmap(kabsch_fast)(s, t)  # [h, 4, 4]

@@ -118,3 +118,24 @@ def test_robust_irls_jits(rng):
     est = np.asarray(f(src, tgt))
     np.testing.assert_allclose(est[:3, 3], [0.5, 0.5, 0.5], atol=1e-3)
     np.testing.assert_allclose(est[:3, :3], np.eye(3), atol=1e-3)
+
+
+def test_est_rigid_robust_ignores_masked_rows(rng):
+    """Zero-weight (padded) rows must stay excluded on EVERY IRLS iteration
+    (regression: the robust kernel re-admitted padding after iter 1)."""
+    from apr_tpu.geometry.robust import est_rigid_robust
+    from apr_tpu.geometry.se3 import apply_transform
+
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = [2.0, -1.0, 0.5]
+    src = rng.uniform(-10, 10, (300, 3)).astype(np.float32)
+    tgt = np.asarray(apply_transform(jnp.asarray(src), jnp.asarray(t)))
+    # padded tail: garbage correspondences with zero weight
+    src_pad = np.concatenate([src, rng.uniform(-10, 10, (200, 3)).astype(np.float32)])
+    tgt_pad = np.concatenate([tgt, rng.uniform(50, 60, (200, 3)).astype(np.float32)])
+    w = np.zeros(500, np.float32)
+    w[:300] = 1.0
+
+    est = np.asarray(est_rigid_robust(jnp.asarray(src_pad),
+                                      jnp.asarray(tgt_pad), jnp.asarray(w)))
+    np.testing.assert_allclose(est, t, atol=1e-3)

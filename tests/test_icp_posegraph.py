@@ -109,3 +109,23 @@ def test_multiway_complement_transforms(rng):
     for got, want in zip(out, (t_a, t_b)):
         err = np.linalg.norm(got - want)
         assert err < 0.05, err
+
+
+def test_se3_log_near_pi(rng):
+    """se3_log must be stable for ~180-degree rotations (0/0 in the naive
+    vee form) — log/exp must round-trip."""
+    from scipy.spatial.transform import Rotation
+
+    from apr_tpu.geometry.pose_graph import se3_exp, se3_log
+
+    for axis in ([1, 0, 0], [0, 1, 0], [0.6, -0.8, 0.0], [0.5, 0.5, 0.7]):
+        a = np.asarray(axis, np.float64)
+        a = a / np.linalg.norm(a)
+        for ang in (np.pi, np.pi - 1e-8, np.pi - 1e-5):
+            t = np.eye(4)
+            t[:3, :3] = Rotation.from_rotvec(a * ang).as_matrix()
+            t[:3, 3] = [1.0, -2.0, 0.5]
+            xi = se3_log(t)
+            assert np.isfinite(xi).all(), (axis, ang, xi)
+            t2 = se3_exp(xi)
+            np.testing.assert_allclose(t2, t, atol=1e-5)

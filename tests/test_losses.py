@@ -136,3 +136,27 @@ def test_npr_reconstruction_scales_with_voxel(rng):
         voxel_size=0.3,
     )
     assert np.isfinite(float(t1)) and float(reg1) > 0
+
+
+def test_hardest_negative_exclusion_large_indices(rng, jax_key):
+    """Positive partners must be excluded from hardest negatives even when
+    flattened row indices are large enough that the old src * span + tgt
+    pair key overflowed int32 (regression)."""
+    import jax.numpy as jnp
+    from apr_tpu.losses.contrastive import hardest_contrastive_loss
+
+    n = 70000  # span * n > 2^31 with the old encoding
+    d = 4
+    f = rng.normal(size=(n, d)).astype(np.float32) * 10.0
+    feats0 = jnp.asarray(f)
+    feats1 = jnp.asarray(f)  # partner is the ONLY zero-distance point
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos_mask = jnp.ones((n,), bool)
+
+    _, neg_loss = hardest_contrastive_loss(
+        jax_key, feats0, feats1, idx, idx, pos_mask,
+        num_pos=128, num_hn_samples=256, pos_thresh=0.1, neg_thresh=1.4)
+    # hardest negative of every sampled anchor is its own partner (d = 0);
+    # with correct exclusion those anchors contribute nothing, and the
+    # remaining random-feature negatives are far beyond neg_thresh
+    assert float(neg_loss) < 0.5, float(neg_loss)
