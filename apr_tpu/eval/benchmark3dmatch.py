@@ -28,7 +28,12 @@ def transformation_error(
     # quaternion-ish small-angle parameterization used by the benchmark
     r = delta[:3, :3]
     q = _rot_to_quat(r)
-    xi = np.concatenate([delta[:3, 3], -q[1:]])  # [t, -q_xyz]
+    if q[0] < 0:  # reference mat2quat convention: w >= 0
+        q = -q
+    # er = [t, +q_xyz] exactly like the reference computeTransformationErr
+    # (Predator_APR/lib/benchmark.py:54-73) — the sign matters through the
+    # info matrix's translation-rotation cross terms
+    xi = np.concatenate([delta[:3, 3], q[1:]])
     den = max(info[0, 0], 1e-12)
     return float(xi @ info @ xi / den)
 

@@ -30,7 +30,9 @@ def _graph_features(coords, feats, mask, k):
         (coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1
     )
     d2 = jnp.where(mask[None, :], d2, jnp.inf)
-    d2 = d2 + jnp.eye(n) * jnp.inf  # exclude self
+    # exclude self via where: `d2 + eye * inf` poisons every off-diagonal
+    # with NaN (0 * inf = NaN) and top_k over NaNs returns arbitrary rows
+    d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
     _, idx = jax.lax.top_k(-d2, k)  # [N, k]
     nb = feats[idx]                 # [N, k, C]
     center = jnp.repeat(feats[:, None, :], k, axis=1)

@@ -352,8 +352,9 @@ class ResnetBottleneckBlock(nn.Module):
 
         if self.strided:
             # max-pool shortcut over the pool neighborhood (blocks.py:660-668)
-            x_pad = jnp.concatenate([x, jnp.full((1, x.shape[1]), -1e6, x.dtype)], 0)
-            shortcut = jnp.max(x_pad[jnp.minimum(neighb, ns)], axis=1)
+            from apr_tpu.ops.pooling import max_pool_neighbors
+
+            shortcut = max_pool_neighbors(x, neighb)
             shortcut = jnp.where(q_mask[:, None], shortcut, 0.0)
         else:
             shortcut = x
@@ -367,6 +368,6 @@ class ResnetBottleneckBlock(nn.Module):
 
 def nearest_upsample(x_coarse: jnp.ndarray, up_idx: jnp.ndarray) -> jnp.ndarray:
     """closest_pool parity: copy each fine point's nearest coarse feature."""
-    nc = x_coarse.shape[0]
-    x_pad = jnp.concatenate([x_coarse, jnp.zeros((1, x_coarse.shape[1]), x_coarse.dtype)], 0)
-    return x_pad[jnp.minimum(up_idx[:, 0], nc)]
+    from apr_tpu.ops.pooling import gather_neighbors
+
+    return gather_neighbors(x_coarse, up_idx)[:, 0]

@@ -23,8 +23,13 @@ def masked_moments(x: jnp.ndarray, mask: jnp.ndarray, axes):
     """
     w = mask.astype(x.dtype)[..., None]
     n = jnp.maximum(jnp.sum(w, axis=axes), 1.0)
-    mean = jnp.sum(x * w, axis=axes) / n
-    var = jnp.sum(jnp.square(x - mean) * w, axis=axes) / n
+    # keepdims through the var term: the reduced mean ([B, C] for x
+    # [B, N, C], axes=(1,)) would otherwise right-align against x and
+    # crash (or silently mis-broadcast) for batched instance norm
+    n_k = jnp.maximum(jnp.sum(w, axis=axes, keepdims=True), 1.0)
+    mean_k = jnp.sum(x * w, axis=axes, keepdims=True) / n_k
+    var = jnp.sum(jnp.square(x - mean_k) * w, axis=axes) / n
+    mean = jnp.reshape(mean_k, var.shape)
     return mean, var
 
 

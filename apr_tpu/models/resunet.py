@@ -227,10 +227,10 @@ def make_resunet(name: str, **kwargs) -> ResUNet2:
     """Instantiate a shipped ResUNet variant by reference name."""
     base = name.replace("IN2", "BN2")
     block_norm = "IN" if "IN2" in name else "BN"
-    if base == "ResUNetIN":  # pragma: no cover - defensive
-        raise ValueError(name)
-    if base not in _VARIANTS and name == "ResUNetIN2":
-        base = "ResUNetBN2"
+    if base not in _VARIANTS:
+        raise ValueError(
+            f"unknown ResUNet variant {name!r}; known: "
+            f"{sorted(_VARIANTS)} (+ IN2 spellings)")
     plan = _VARIANTS[base]
     return ResUNet2(
         channels=plan["channels"],

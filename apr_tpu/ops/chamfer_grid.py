@@ -156,11 +156,15 @@ def _grid_bwd(cell_size, bucket_cap, assume_sorted, res, g):
     ns = supports.shape[0]
     resolved = (idx < ns) & q_mask  # unresolved rows carry zero gradient
     safe = jnp.clip(idx, 0, ns - 1)
-    nearest = supports[safe]
-    diff = jnp.where(resolved[:, None], queries - nearest, 0.0)
-    dq = 2.0 * g / nq * diff
-    ds = jnp.zeros_like(supports).at[safe].add(-dq)
-    return dq, ds, None, None
+    # per-coordinate 1-D gathers/scatters: [N, 3] row ops pad the 3-lane
+    # trailing axis to the 128-lane TPU tile (~42x wasted work)
+    dq_c, ds_c = [], []
+    for c in range(queries.shape[1]):
+        diff = jnp.where(resolved, queries[:, c] - supports[safe, c], 0.0)
+        dq = 2.0 * g / nq * diff
+        dq_c.append(dq)
+        ds_c.append(jnp.zeros_like(supports[:, c]).at[safe].add(-dq))
+    return jnp.stack(dq_c, -1), jnp.stack(ds_c, -1), None, None
 
 
 _directed_mean_sq_nn_grid.defvjp(_grid_fwd, _grid_bwd)
