@@ -82,19 +82,25 @@ def test_fcgf_symmetric_decoder_trains():
     assert chamfers[-1] < chamfers[0], chamfers
 
 
+# sizes kept small: this test owns the suite's largest XLA-CPU compile
+# (symmetric = TWO KPConv U-Nets in one differentiated step) and the CPU
+# compiler segfaults under host memory pressure at bigger footprints
 PRED_CFG = APRConfig(
     trainer="PredatorTrainer",
     final_feats_dim=16,
-    first_feats_dim=32,
-    gnn_feats_dim=32,
+    first_feats_dim=16,
+    gnn_feats_dim=16,
     symmetric=True,
     point_generation_ratio=2,
+    num_kernel_points=7,
+    dgcnn_k=4,
+    num_head=2,
     first_subsampling_dl=1.0,
     conv_radius=2.5,
-    kp_capacities=(768, 384, 192, 96),
-    neighborhood_limits=(16, 16, 16, 16),
-    point_capacity=2048,
-    apc_capacity=1536,
+    kp_capacities=(512, 256, 128, 64),
+    neighborhood_limits=(12, 12, 12, 12),
+    point_capacity=1536,
+    apc_capacity=1024,
     pos_radius=1.0,
     safe_radius=2.5,
     overlap_radius=1.2,
@@ -107,7 +113,7 @@ PRED_CFG = APRConfig(
 
 
 def _pred_batch(cfg, seed=0):
-    d = synthetic_pair(seed, n_points=1800, apc_points=1400, distance=8.0,
+    d = synthetic_pair(seed, n_points=1300, apc_points=1000, distance=8.0,
                        extent=30.0)
     p0, m0 = pad_points(d["points0"], cfg.point_capacity)
     p1, m1 = pad_points(d["points1"], cfg.point_capacity)
