@@ -190,9 +190,6 @@ class KittiComplementDataset(PairDataset):
         self.root = config.kitti_root
         self.rng = np.random.RandomState(config.seed)
         self.use_old_pose = config.use_old_pose
-        self.complement_range = config.complement_pair_dist * (
-            config.num_complement_one_side + 1
-        ) / 10.0 * 10  # window scale; reference uses complement_range=10*K heuristics
         # the reference's window is 10*complement_range frames with
         # complement_range = num_complement_one_side * complement_pair_dist
         self.complement_range = (
@@ -324,7 +321,14 @@ class KittiComplementDataset(PairDataset):
                 return np.zeros((0, 3), np.float32)
             pos_cmpls = [poses[t] for t in t_cmpls]
             if c.mutate_neighbour_percentage > 0:
-                # fault-injection ablation (:536-544): corrupt rotations
+                # fault-injection ablation (:536-544): corrupt rotations.
+                # PARITY NOTE: on the use_old_pose=True path with a warm ICP
+                # cache the mutation is a no-op — the reference's
+                # multiway_registration also returns cached transforms and
+                # ignores the mutated poses (complement_data_loader.py:
+                # 1040-1065); the mutation only reaches results through the
+                # ICP/pose-graph INITIALIZATION on cache misses, and fully
+                # on the SLAM-pose path
                 from scipy.spatial.transform import Rotation
 
                 n_vic = int(c.mutate_neighbour_percentage * len(pos_cmpls))

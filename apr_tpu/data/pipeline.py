@@ -22,6 +22,53 @@ from apr_tpu.data.synthetic import pad_points
 from apr_tpu.training.batching import PairBatch, make_pair_batch
 
 
+def prefetched(items, produce, prefetch: int = 2):
+    """Generator over ``produce(item)`` with a background producer thread.
+
+    Shared prefetch machinery (queue + stop event + drain-safe put + the
+    ok/done/err protocol) for PairLoader and the Predator batch iterator —
+    one implementation of the abandoned-consumer semantics.
+    """
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def put(item):
+        # re-check stop while blocked on the full queue so an abandoned
+        # consumer can't strand this thread (and its prefetched payloads)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for it in items:
+                if stop.is_set():
+                    return
+                if not put(("ok", produce(it))):
+                    return
+            put(("done", None))
+        except Exception as e:  # surface worker errors to the consumer
+            put(("err", e))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "done":
+                return
+            if kind == "err":
+                raise payload
+            yield payload
+    finally:
+        stop.set()
+
+
 def collate_pairs(pairs: Sequence[dict], config: APRConfig) -> PairBatch:
     """Pad a list of pair dicts into one device batch."""
     cols = [[] for _ in range(9)]
@@ -87,43 +134,10 @@ class PairLoader:
 
     def __iter__(self) -> Iterator[PairBatch]:
         order = self._index_order()
-        nb = len(self)
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
-        def put(item):
-            # re-check stop while blocked on the full queue so an abandoned
-            # consumer can't strand this thread (and its prefetched batches)
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+        def read_batch(b):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            return [self.dataset.get_pair(int(i)) for i in idxs]
 
-        def producer():
-            try:
-                for b in range(nb):
-                    if stop.is_set():
-                        return
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    pairs = [self.dataset.get_pair(int(i)) for i in idxs]
-                    if not put(("ok", pairs)):
-                        return
-                put(("done", None))
-            except Exception as e:  # surface worker errors to the consumer
-                put(("err", e))
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                kind, payload = q.get()
-                if kind == "done":
-                    return
-                if kind == "err":
-                    raise payload
-                yield collate_pairs(payload, self.config)
-        finally:
-            stop.set()
+        for pairs in prefetched(range(len(self)), read_batch, self.prefetch):
+            yield collate_pairs(pairs, self.config)

@@ -95,12 +95,16 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
         rm = CheckpointManager(config.resume)
         if rm.latest_epoch() is not None:
             state, meta = rm.restore(state)
+            # restored leaves are host arrays with no sharding: re-replicate
+            # so the resumed path compiles/places like the fresh-init path
+            state = replicate(state, mesh)
             start_epoch = int(meta["epoch"])
             best_val = meta.get("best_val")
             log.info("resumed from %s at epoch %d", config.resume, start_epoch)
     elif config.weights is not None:
         wm = CheckpointManager(config.weights)
         state, _ = wm.restore_weights_only(state)
+        state = replicate(state, mesh)
         log.info("finetune_restart from %s", config.weights)
 
     epochs = max_epochs or config.max_epoch
@@ -163,7 +167,13 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
 
         if (epoch + 1) % config.val_epoch_freq == 0:
             vmeters: Dict[str, AverageMeter] = {}
+            n_dev = len(mesh.devices.reshape(-1))
             for batch in val_loader:
+                # shard like training when the val batch divides the mesh;
+                # otherwise (val_batch_size=1 default on a multi-chip mesh)
+                # GSPMD replicates it — correct, just not parallel
+                if batch.batch_size % n_dev == 0:
+                    batch = shard_batch(batch, mesh)
                 key, k = jax.random.split(key)
                 vm = trainer.valid_step(state, batch, k)
                 for name, v in vm.items():

@@ -300,6 +300,17 @@ class PredatorTrainer:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        # full skip on non-finite steps: weight decay + momentum would
+        # still move params with zeroed grads (see FCGF trainer note)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            params, state.params,
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old) if hasattr(
+                new, "dtype") else new,
+            opt_state, state.opt_state,
+        )
         new_stats = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old),
             new_stats, state.batch_stats,

@@ -47,51 +47,16 @@ def pair_to_kp_batch(pair, config: APRConfig):
 
 
 def _batch_iter(dataset, indices, config: APRConfig, prefetch: int = 2):
-    """Background-thread batch assembly (PairLoader pattern): batch i+1's
-    file reads + padding + device-side pyramid build overlap batch i's
-    train step."""
-    import queue
-    import threading
+    """Background-thread batch assembly: batch i+1's file reads + padding +
+    device-side pyramid build overlap batch i's train step (shared
+    machinery: apr_tpu.data.pipeline.prefetched)."""
+    from apr_tpu.data.pipeline import prefetched
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    stop = threading.Event()
-
-    def put(item):
-        # re-check stop while blocked on the full queue: if the consumer
-        # abandons the generator mid-epoch, a bare q.put would block this
-        # thread forever and pin prefetched KITTI-scale batches in memory
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def producer():
-        try:
-            for i in indices:
-                if stop.is_set():
-                    return
-                if not put(("ok", pair_to_kp_batch(dataset.get_pair(int(i)),
-                                                   config))):
-                    return
-            put(("done", None))
-        except Exception as e:  # surface worker errors to the consumer
-            put(("err", e))
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-        while True:
-            kind, payload = q.get()
-            if kind == "done":
-                return
-            if kind == "err":
-                raise payload
-            yield payload
-    finally:
-        stop.set()
+    yield from prefetched(
+        indices,
+        lambda i: pair_to_kp_batch(dataset.get_pair(int(i)), config),
+        prefetch,
+    )
 
 
 def run_predator_training(config: APRConfig,
@@ -181,11 +146,11 @@ def run_predator_training(config: APRConfig,
             mngr.save(epoch + 1, state, extra=extra, tag="best_recall")
         mngr.save(epoch + 1, state, extra=extra)
 
-        # saliency toggle (trainer.py:370-374)
+        # saliency toggle (trainer.py:370-374): a ONE-WAY latch in the
+        # reference — once val recall exceeds 0.3 the saliency loss stays
+        # on (and a nonzero configured w_saliency_loss is never clobbered)
         if vs.get("recall", 0.0) > 0.3:
-            w_saliency = 1.0
-        else:
-            w_saliency = 0.0
+            w_saliency = max(w_saliency, 1.0)
         summary["last_val"] = vs
 
     summary["steps"] = step

@@ -296,7 +296,7 @@ class FCGFTrainer:
     # --- the train step -------------------------------------------------
 
     def loss_fn(self, params, batch_stats, batch: PairBatch, key: jax.Array,
-                train: bool = True):
+                train: bool = True, return_feats: bool = False):
         c = self.config
         k_mine, _ = jax.random.split(key)
         f0, stats1 = self._encode(params, batch_stats, batch.feats0,
@@ -332,6 +332,8 @@ class FCGFTrainer:
                 chamfer_loss=cd0 + cd1, regularization_loss=reg0 + reg1
             )
         metrics["loss"] = loss
+        if return_feats:
+            return loss, (new_stats, metrics, (f0, f1))
         return loss, (new_stats, metrics)
 
     @partial(jax.jit, static_argnames=("self",))
@@ -340,7 +342,12 @@ class FCGFTrainer:
             self.loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, key, True)
 
-        # NaN gate (validate_gradient parity): skip the update entirely
+        # NaN gate (validate_gradient parity): skip the update ENTIRELY.
+        # Zeroing grads alone is not enough — weight decay still emits
+        # wd * params and the momentum trace replays, so params/opt_state
+        # are select()ed back to their old values on non-finite steps
+        # (this also keeps MultiSteps' mini-step counter from advancing
+        # with a diluted zero-gradient contribution).
         finite = jnp.isfinite(loss)
         leaves = jax.tree_util.tree_leaves(grads)
         finite = jnp.logical_and(
@@ -352,6 +359,15 @@ class FCGFTrainer:
         )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            params, state.params,
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old) if hasattr(
+                new, "dtype") else new,
+            opt_state, state.opt_state,
+        )
         new_stats = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old),
             new_stats, state.batch_stats,
@@ -375,14 +391,13 @@ class FCGFTrainer:
         (complement_trainer.py:514-681): feature NN -> robust IRLS pose ->
         RTE/RRE + hit ratio + feature-match ratio."""
         c = self.config
-        loss, (_, metrics) = self.loss_fn(
-            state.params, state.batch_stats, batch, key, False
+        # reuse loss_fn's encoder outputs: re-encoding both clouds doubled
+        # validation's encoder cost for identical inputs (train=False leaves
+        # batch_stats untouched)
+        loss, (_, metrics, (f0, f1)) = self.loss_fn(
+            state.params, state.batch_stats, batch, key, False,
+            return_feats=True,
         )
-
-        f0, _ = self._encode(state.params, state.batch_stats, batch.feats0,
-                             batch.pyramid0, False)
-        f1, _ = self._encode(state.params, state.batch_stats, batch.feats1,
-                             batch.pyramid1, False)
 
         def one(f0b, f1b, xyz0, xyz1, m0, m1, t_gt):
             corr = feature_nn_correspondences(f0b, f1b, m0, m1)
@@ -402,8 +417,10 @@ class FCGFTrainer:
             hit_ratio=jnp.mean(hrs),
             feat_match_ratio=jnp.mean((hrs > 0.05).astype(jnp.float32)),
             rte=jnp.mean(rtes),
+            # non-finite RRE (degenerate pose fit) counts as the WORST
+            # rotation, not a perfect one (0 would reward failures)
             rre=jnp.mean(
-                jnp.where(jnp.isfinite(rres), rres, 0.0)
+                jnp.where(jnp.isfinite(rres), rres, 180.0)
             ),
             success=jnp.mean(
                 ((rtes < c.rte_thresh) & (rres < c.rre_thresh)).astype(

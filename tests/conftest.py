@@ -35,3 +35,20 @@ def rng():
 @pytest.fixture
 def jax_key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_programs():
+    """Drop jit/lowering caches after each test module.
+
+    A full-suite run compiles hundreds of XLA CPU programs; the accumulated
+    RSS reproducibly segfaulted the CPU compiler inside the largest
+    late-suite compile (test_symmetric).  Freeing executables between
+    modules keeps the process flat; per-module recompiles are already paid
+    since jitted closures differ per module.
+    """
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
