@@ -61,13 +61,12 @@ class APRConfig:
     #   "exact" = streaming brute force (ops/chamfer.py), the eval-grade
     #     reference semantics, VPU speed-of-light but O(Nq*Ns);
     #   "pallas" = brute force as a Pallas kernel (slower than "exact"'s
-    #     XLA lowering on v5e — kept for kernel parity tests);
-    #   "grid" = 27-cell bucketed NN — fastest standalone but its
-    #     searchsorted+gather chain miscompiles inside the differentiated
-    #     step on TPU — experimental opt-in
+    #     XLA lowering on v5e — kept for kernel parity tests).
+    # (A former "grid" 27-cell bucketed mode was deleted in round 3: its
+    # searchsorted+gather chain miscompiled inside the differentiated step
+    # on TPU and "window" supersedes it in both speed and robustness.)
     chamfer_mode: str = "window"
     chamfer_cell_multiplier: float = 4.0   # cell = multiplier * voxel_size
-    chamfer_bucket_cap: int = 64
 
     # --- KPConv / Predator path (YAML field names preserved) ---
     num_layers: int = 4
@@ -94,6 +93,10 @@ class APRConfig:
     nets: Tuple[str, ...] = ("self", "cross", "self")
     architecture: str = "kitti"
     neighborhood_limits: Tuple[int, ...] = (40, 40, 40, 40)
+    # False -> run calibrate_neighbors on the train set before training and
+    # overwrite neighborhood_limits (reference Predator_APR/main.py:94-111);
+    # True -> keep the configured limits as-is
+    neighborhood_limits_pinned: bool = True
     kp_capacities: Tuple[int, ...] = (16384, 4096, 2048, 1024)
 
     # --- Predator MetricLoss ---

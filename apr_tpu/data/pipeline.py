@@ -81,10 +81,6 @@ def collate_pairs(pairs: Sequence[dict], config: APRConfig) -> PairBatch:
                                  d["t_gt"].astype(np.float32))):
             col.append(v)
     arrs = [jnp.asarray(np.stack(c)) for c in cols]
-    apc_sort_cell = (
-        config.chamfer_cell_multiplier * config.voxel_size
-        if config.chamfer_mode == "grid" else 0.0
-    )
     return make_pair_batch(
         *arrs,
         voxel_size=config.voxel_size,
@@ -92,7 +88,6 @@ def collate_pairs(pairs: Sequence[dict], config: APRConfig) -> PairBatch:
         conv1_kernel_size=config.conv1_kernel_size,
         corr_cap=config.corr_capacity_per_point,
         search_multiplier=config.positive_pair_search_voxel_size_multiplier,
-        apc_sort_cell=apc_sort_cell,
     )
 
 

@@ -226,7 +226,10 @@ def metric_loss(
     c_tgt = jnp.clip(corr_tgt, 0, m - 1)
     c_dist = jnp.linalg.norm(src_warp[c_src] - tgt_pcd[c_tgt], axis=1)
     tight = corr_mask & (c_dist < pos_radius - 0.001)
-    pick, pick_ok = _sample_without_replacement(key, tight, max_points)
+    # buffers smaller than max_points need no subsampling (static shapes)
+    pick, pick_ok = _sample_without_replacement(
+        key, tight, min(max_points, corr_src.shape[0])
+    )
     ps = c_src[pick]
     pt = c_tgt[pick]
 

@@ -62,17 +62,19 @@ def npr_reconstruction(
     alpha: float = 1.0,
     chamfer_mode: str = "exact",
     chamfer_cell_size: float = 1.2,
-    chamfer_bucket_cap: int = 64,
-    apc_sorted: bool = False,
 ):
-    """(chamfer + reg * strength, chamfer, reg) of the generative branch.
+    """(chamfer + reg * strength, chamfer, reg, clamp_frac).
 
     For FCGF parity pass ``voxel_size`` = the quantization size and
     ``anchor_points`` = voxel_size * integer coords; for Predator parity pass
     ``voxel_size=1`` and ``anchor_points`` = metric points.
-    ``chamfer_mode='grid'`` uses the spatially-bucketed fast path (see
-    apr_tpu.ops.chamfer_grid — exact when the APC is voxel-deduplicated and
-    the NN lies within one cell).
+
+    ``clamp_frac`` is nonzero only for chamfer_mode='window': the fraction
+    of points whose nearest neighbor fell beyond the 2*cell clamp (zero-
+    gradient contribution) — logged as training telemetry because a high
+    rate biases the reconstruction loss in sparse regions.  (The former
+    'grid' mode is deleted: it miscompiled on TPU inside the differentiated
+    step and 'window' supersedes it in both speed and robustness.)
     """
     n = mlp_output.shape[0]
     ratio = mlp_output.shape[1] // 3
@@ -81,18 +83,11 @@ def npr_reconstruction(
 
     recon = (offsets + anchor_points[:, None, :]).reshape(n * ratio, 3)
     recon_mask = jnp.repeat(feat_mask, ratio)
-    if chamfer_mode == "grid":
-        from apr_tpu.ops.chamfer_grid import chamfer_distance_grid
+    clamp_frac = jnp.zeros((), jnp.float32)
+    if chamfer_mode == "window":
+        from apr_tpu.ops.chamfer_window import chamfer_distance_window_stats
 
-        cd = chamfer_distance_grid(
-            recon, apc_points, recon_mask, apc_mask,
-            cell_size=chamfer_cell_size, bucket_cap=chamfer_bucket_cap,
-            b_sorted=apc_sorted,
-        )
-    elif chamfer_mode == "window":
-        from apr_tpu.ops.chamfer_window import chamfer_distance_window
-
-        cd = chamfer_distance_window(
+        cd, clamp_frac = chamfer_distance_window_stats(
             recon, apc_points, recon_mask, apc_mask,
             cell_size=chamfer_cell_size,
         )
@@ -100,6 +95,9 @@ def npr_reconstruction(
         from apr_tpu.ops.pallas.distance import chamfer_distance_pallas
 
         cd = chamfer_distance_pallas(recon, apc_points, recon_mask, apc_mask)
-    else:
+    elif chamfer_mode == "exact":
         cd = chamfer_distance(recon, apc_points, recon_mask, apc_mask)
-    return cd + reg * reg_strength, cd, reg
+    else:
+        raise ValueError(f"unknown chamfer_mode: {chamfer_mode!r} "
+                         "(expected window | pallas | exact)")
+    return cd + reg * reg_strength, cd, reg, clamp_frac

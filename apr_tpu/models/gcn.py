@@ -77,13 +77,16 @@ class CrossAttention(nn.Module):
         d = self.feature_dim
         h = self.num_heads
         dk = d // h
-        q = nn.Dense(d, name="q")(x).reshape(-1, h, dk)
-        k = nn.Dense(d, name="k")(source).reshape(-1, h, dk)
-        v = nn.Dense(d, name="v")(source).reshape(-1, h, dk)
-        logits = jnp.einsum("nhd,mhd->hnm", q, k) / (dk ** 0.5)
+        # head split uses the TORCH channel order (dk outer, heads inner:
+        # MultiHeadedAttention.forward views [B, dk, h, N], gcn.py:110-116)
+        # so .pth q/k/v/merge weights import as plain transposes
+        q = nn.Dense(d, name="q")(x).reshape(-1, dk, h)
+        k = nn.Dense(d, name="k")(source).reshape(-1, dk, h)
+        v = nn.Dense(d, name="v")(source).reshape(-1, dk, h)
+        logits = jnp.einsum("ndh,mdh->hnm", q, k) / (dk ** 0.5)
         logits = jnp.where(src_mask[None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
-        msg = jnp.einsum("hnm,mhd->nhd", attn, v).reshape(-1, d)
+        msg = jnp.einsum("hnm,mdh->ndh", attn, v).reshape(-1, d)
         msg = nn.Dense(d, name="merge")(msg)
         # MLP([2d, 2d, d]) over concat(x, message) with IN + ReLU between
         y = jnp.concatenate([x, msg], axis=-1)

@@ -77,15 +77,13 @@ def build_kp_pyramid(
     doubles per strided level.  Pool tables use the *finer* level's radius;
     upsample tables use 1-NN into the coarser level.
     """
-    levels = []
-    pts_all = []
-    masks_all = []
-    dl = first_subsampling_dl
-    for l in range(num_levels):
-        grid = voxelize(points, dl, capacities[l], mask)
-        pts_all.append(grid.barycenter)
-        masks_all.append(grid.mask)
-        dl = dl * 2
+    from apr_tpu.ops.voxelize import voxelize_pyramid
+
+    # one argsort serves every level (coarser keys are coordinate shifts of
+    # the level-0 keys — see voxelize_pyramid)
+    grids = voxelize_pyramid(points, first_subsampling_dl, capacities, mask)
+    pts_all = [g.barycenter for g in grids]
+    masks_all = [g.mask for g in grids]
 
     out = []
     r = first_subsampling_dl * conv_radius
@@ -158,12 +156,24 @@ class KPConvLayer(nn.Module):
         ns, cin = x.shape
         k = self.num_kernel_points
 
-        kp = load_kernels(
-            self.kp_extent, k, 3, self.fixed_kernel_points,
-            rng=np.random.default_rng(self.kernel_seed),
-            deterministic=not self.randomize_kernel,
-        )
-        kernel_points = jnp.asarray(kp)  # [K, 3]
+        # Kernel dispositions are a NON-TRAINABLE param (reference:
+        # Parameter(requires_grad=False), blocks.py:225-230) so that .pth
+        # checkpoint import can restore the reference's per-instantiation
+        # randomly-rotated kernels exactly; stop_gradient keeps them frozen
+        # and the trainers mask them out of weight decay.
+        # Scale: the reference's shipped disposition file has mean ring
+        # radius 0.66 (measured from kernels/dispositions/k_015_center_3D.ply)
+        # and load_kernels multiplies by the BLOCK RADIUS (blocks.py:222-230,
+        # kernel_points.py:465) — so kernel points ring at 0.66*radius
+        # (~1.4x the influence extent), not at the extent itself.
+        kernel_points = jax.lax.stop_gradient(self.param(
+            "kernel_points",
+            lambda _: jnp.asarray(load_kernels(
+                0.66 * self.radius, k, 3, self.fixed_kernel_points,
+                rng=np.random.default_rng(self.kernel_seed),
+                deterministic=not self.randomize_kernel,
+            )),
+        ))  # [K, 3]
 
         weights = self.param(
             "weights",
@@ -219,6 +229,10 @@ class KPConvLayer(nn.Module):
             if self.deformable:
                 self.sow("deform", "min_d2",
                          jnp.min(jnp.where(valid[..., None], sq, jnp.inf), 1))
+                # reference prunes neighbors out of range of every deformed
+                # kernel point (blocks.py:293-315), which shrinks the
+                # normalization count below
+                valid = valid & (jnp.min(sq, axis=-1) < self.kp_extent ** 2)
             w = influence_of(sq)
             nearest = jnp.argmin(sq, axis=-1)
             w = w * jax.nn.one_hot(nearest, k, dtype=w.dtype)
@@ -237,11 +251,13 @@ class KPConvLayer(nn.Module):
             # matmuls that XLA-TPU takes minutes to compile.
             nq = neighb_x.shape[0]
 
-            def step(acc, inputs):
+            def step(carry, inputs):
                 if self.deformable:
+                    acc, min_sq = carry
                     kp, w_k, off, mod = inputs  # off [Nq,3], mod [Nq]
                     center = kp[None, None, :] + off[:, None, :]
                 else:
+                    acc = carry
                     kp, w_k = inputs            # kp [3], w_k [Cin, Cout]
                     center = kp[None, None, :]
                 diff = neighbors - center
@@ -253,34 +269,83 @@ class KPConvLayer(nn.Module):
                                  preferred_element_type=jnp.float32)
                 ys = (jnp.min(jnp.where(valid, sq, jnp.inf), axis=1)
                       if self.deformable else None)
-                return acc + jnp.dot(tmp, w_k,
-                                     preferred_element_type=jnp.float32), ys
+                acc = acc + jnp.dot(tmp, w_k,
+                                    preferred_element_type=jnp.float32)
+                if self.deformable:
+                    return (acc, jnp.minimum(min_sq, sq)), ys
+                return acc, ys
 
-            init = jnp.zeros((nq, self.out_channels), jnp.float32)
+            init_acc = jnp.zeros((nq, self.out_channels), jnp.float32)
             if self.deformable:
                 mods = (modulations.T if modulations is not None
                         else jnp.ones((k, nq), jnp.float32))
                 xs = (kernel_points, weights,
                       jnp.transpose(offsets, (1, 0, 2)), mods)
+                init = (init_acc, jnp.full(neighbors.shape[:2], jnp.inf))
+                (out, min_nb_sq), min_d2 = jax.lax.scan(step, init, xs)
+                self.sow("deform", "min_d2", min_d2.T)    # [Nq, K]
+                # reference prunes neighbors out of range of every deformed
+                # kernel point (blocks.py:293-315), shrinking the
+                # normalization count; exact parity under linear influence
+                # (out-of-range contributions are exactly zero there — under
+                # gaussian they are ~e^{-5.6} and stay in this sum)
+                valid = valid & (min_nb_sq < self.kp_extent ** 2)
             else:
                 xs = (kernel_points, weights)
-            out, min_d2 = jax.lax.scan(step, init, xs)
-            if self.deformable:
-                self.sow("deform", "min_d2", min_d2.T)    # [Nq, K]
+                out, _ = jax.lax.scan(step, init_acc, xs)
         else:
             raise ValueError(self.aggregation)
 
-        # neighbor-count normalization (blocks.py:371-375)
-        n_valid = jnp.maximum(jnp.sum(valid, axis=1), 1)
+        # neighbor-count normalization (blocks.py:371-375).  The reference
+        # counts neighbors whose gathered FEATURE SUM is > 0 — a proxy for
+        # "non-shadow" that also drops real neighbors with non-positive
+        # channel sums (common in deep layers after leaky_relu).  Replicated
+        # exactly: the quirk changes the divisor and therefore the numerics.
+        feat_nonzero = jnp.sum(neighb_x, axis=-1) > 0.0   # [Nq, nmax]
+        n_valid = jnp.maximum(jnp.sum(valid & feat_nonzero, axis=1), 1)
         return (out / n_valid[:, None]).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
 # Blocks (block_decider parity, blocks.py:387-726)
+#
+# Every block operates on STACKED pair buffers [P, N, ...] (P = 2 clouds, or
+# P = 1 for a single cloud) and normalizes over ALL valid points of the stack
+# jointly: the reference runs its whole KPConv U-Net on the src+tgt clouds
+# concatenated into one point stack, so its 'BatchNormBlock' (really
+# InstanceNorm1d, blocks.py:451) computes one statistic over BOTH clouds
+# (architectures.py:137-153 feeds the stacked batch).  Per-cloud norms — the
+# obvious TPU decomposition — measurably diverge from reference numerics and
+# would break .pth checkpoint fidelity.
 # ---------------------------------------------------------------------------
 
 def _leaky(x):
     return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def _lift(single, *arrays):
+    """Add a P=1 leading axis when called with unstacked single-cloud args."""
+    if single:
+        return tuple(a[None] for a in arrays)
+    return arrays
+
+
+def _joint_norm(norm: MaskedInstanceNorm, x, mask):
+    """One InstanceNorm statistic over every valid point of the [P, N, C]
+    stack — the reference's stacked-pair normalization."""
+    p, n, c = x.shape
+    y = norm(x.reshape(1, p * n, c), mask.reshape(1, p * n))
+    return y.reshape(p, n, c)
+
+
+# KPConv over stacked clouds: shared params, neighbor tables stay per-cloud.
+PairKPConv = nn.vmap(
+    KPConvLayer,
+    in_axes=(0, 0, 0, 0),
+    out_axes=0,
+    variable_axes={"params": None, "deform": 0},
+    split_rngs={"params": False},
+)
 
 
 class UnaryBlock(nn.Module):
@@ -290,13 +355,16 @@ class UnaryBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
+        single = x.ndim == 2
+        x, mask = _lift(single, x, mask)
         x = nn.Dense(self.out_dim, use_bias=not self.use_norm)(x)
         if self.use_norm:
             # reference 'BatchNormBlock' is InstanceNorm1d (blocks.py:451)
-            x = MaskedInstanceNorm()(x[None], mask[None])[0]
+            x = _joint_norm(MaskedInstanceNorm(), x, mask)
         if not self.no_relu:
             x = _leaky(x)
-        return jnp.where(mask[:, None], x, 0.0)
+        x = jnp.where(mask[..., None], x, 0.0)
+        return x[0] if single else x
 
 
 class SimpleBlock(nn.Module):
@@ -311,14 +379,20 @@ class SimpleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb, x, q_mask):
+        single = x.ndim == 2
+        q_pts, s_pts, neighb, x, q_mask = _lift(
+            single, q_pts, s_pts, neighb, x, q_mask
+        )
         # KPConv outputs out_dim // 2 (blocks.py:475-504)
-        h = KPConvLayer(
+        h = PairKPConv(
             self.out_dim // 2, self.kp_extent, self.radius,
             self.num_kernel_points, self.influence, self.aggregation,
             deformable=self.deformable, modulated=self.modulated,
+            name="conv",
         )(q_pts, s_pts, neighb, x)
-        h = MaskedInstanceNorm()(h[None], q_mask[None])[0]
-        return jnp.where(q_mask[:, None], _leaky(h), 0.0)
+        h = _joint_norm(MaskedInstanceNorm(), h, q_mask)
+        h = jnp.where(q_mask[..., None], _leaky(h), 0.0)
+        return h[0] if single else h
 
 
 class ResnetBottleneckBlock(nn.Module):
@@ -334,40 +408,46 @@ class ResnetBottleneckBlock(nn.Module):
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb, x, q_mask, s_mask):
-        """neighb: [Nq, nmax] into supports (pool table when strided)."""
-        ns = s_pts.shape[0]
+        """neighb: [P, Nq, nmax] into supports (pool table when strided)."""
+        single = x.ndim == 2
+        q_pts, s_pts, neighb, x, q_mask, s_mask = _lift(
+            single, q_pts, s_pts, neighb, x, q_mask, s_mask
+        )
         mid = self.out_dim // 4
         h = x
         if x.shape[-1] != mid:
             h = UnaryBlock(mid, name="unary1")(x, s_mask)
-        h = KPConvLayer(
+        h = PairKPConv(
             mid, self.kp_extent, self.radius,
             self.num_kernel_points, self.influence, self.aggregation,
             deformable=self.deformable, modulated=self.modulated,
             name="conv",
         )(q_pts, s_pts, neighb, h)
-        h = MaskedInstanceNorm(name="norm_conv")(h[None], q_mask[None])[0]
+        h = _joint_norm(MaskedInstanceNorm(name="norm_conv"), h, q_mask)
         h = _leaky(h)
         h = UnaryBlock(self.out_dim, no_relu=True, name="unary2")(h, q_mask)
 
         if self.strided:
-            # max-pool shortcut over the pool neighborhood (blocks.py:660-668)
+            # max-pool shortcut over the pool neighborhood (blocks.py:676-681)
             from apr_tpu.ops.pooling import max_pool_neighbors
 
             shortcut = max_pool_neighbors(x, neighb)
-            shortcut = jnp.where(q_mask[:, None], shortcut, 0.0)
+            shortcut = jnp.where(q_mask[..., None], shortcut, 0.0)
         else:
             shortcut = x
         if shortcut.shape[-1] != self.out_dim:
             shortcut = UnaryBlock(
                 self.out_dim, no_relu=True, name="unary_shortcut"
             )(shortcut, q_mask)
-        out = _leaky(h + shortcut)
-        return jnp.where(q_mask[:, None], out, 0.0)
+        out = jnp.where(q_mask[..., None], _leaky(h + shortcut), 0.0)
+        return out[0] if single else out
 
 
 def nearest_upsample(x_coarse: jnp.ndarray, up_idx: jnp.ndarray) -> jnp.ndarray:
-    """closest_pool parity: copy each fine point's nearest coarse feature."""
+    """closest_pool parity: copy each fine point's nearest coarse feature.
+
+    Accepts [Nc, C] + [Nf, 1] or stacked [P, Nc, C] + [P, Nf, 1].
+    """
     from apr_tpu.ops.pooling import gather_neighbors
 
-    return gather_neighbors(x_coarse, up_idx)[:, 0]
+    return gather_neighbors(x_coarse, up_idx)[..., 0, :]

@@ -10,8 +10,12 @@ unary] with encoder skip concats, ending in last_unary ->
 final_feats_dim + 2; outputs L2-normalized per-point features + sigmoid
 overlap / saliency scores with NaN scrubbing (regular_score :131-134).
 
-TPU-first: the two clouds are separate padded buffers (the reference stacks
-them with stack_lengths); the whole pair forward is one jit program.
+TPU-first: the two clouds are padded buffers STACKED on a leading pair axis
+[2, N, ...] — the reference concatenates src+tgt into one point stack
+(architectures.py:139-145), and crucially every InstanceNorm in its blocks
+normalizes over that stack, i.e. over BOTH clouds jointly.  The stacked-pair
+layout reproduces those joint statistics while keeping shapes static and the
+convs batched (bigger MXU matmuls than two sequential single-cloud passes).
 """
 
 from __future__ import annotations
@@ -45,8 +49,16 @@ def _regular_score(x):
     return jnp.where(jnp.isfinite(x), x, 0.0)
 
 
+def stack_pair(pyr0: KPPyramid, pyr1: KPPyramid) -> KPPyramid:
+    """Stack two same-capacity pyramids onto a leading pair axis."""
+    return jax.tree.map(lambda a, b: jnp.stack([a, b]), pyr0, pyr1)
+
+
 class KPEncoder(nn.Module):
-    """4-level KPConv encoder; returns (bottleneck feats, skip feats)."""
+    """4-level KPConv encoder over a stacked pair pyramid ([2, N_l, ...]).
+
+    Returns (bottleneck feats [2, N3, C], skip feats per level).
+    """
 
     first_feats_dim: int = 256
     first_subsampling_dl: float = 0.3
@@ -68,8 +80,8 @@ class KPEncoder(nn.Module):
         if feats is None:
             # reference input features: ones (in_feats_dim = 1)
             feats = jnp.where(
-                lv[0].mask[:, None],
-                jnp.ones((lv[0].points.shape[0], 1), jnp.float32), 0.0,
+                lv[0].mask[..., None],
+                jnp.ones(lv[0].points.shape[:-1] + (1,), jnp.float32), 0.0,
             )
 
         skips = []
@@ -84,14 +96,17 @@ class KPEncoder(nn.Module):
 
         for l in range(3):
             skips.append(x)
-            out_dim *= 2
-            # strided resnetb: coarse queries pool from fine supports
+            # strided resnetb KEEPS the current width (reference channel
+            # plan: out_dim doubles only AFTER the strided block is built,
+            # architectures.py:66-73 — so its shortcut is Identity and the
+            # first post-stride resnetb does the widening)
             x = ResnetBottleneckBlock(
                 out_dim, r, extent(r), strided=True,
                 deformable=self.deformable, modulated=self.modulated,
                 name=f"enc_l{l}_strided",
             )(lv[l + 1].points, lv[l].points, lv[l].pools, x,
               lv[l + 1].mask, lv[l].mask)
+            out_dim *= 2
             r *= 2
             x = ResnetBottleneckBlock(
                 out_dim, r, extent(r), deformable=self.deformable,
@@ -107,7 +122,10 @@ class KPEncoder(nn.Module):
 
 
 class KPDecoder(nn.Module):
-    """3x [nearest_upsample + unary(+skip)] ending in a bare last_unary."""
+    """3x [nearest_upsample + unary(+skip)] ending in a bare last_unary.
+
+    Operates on the stacked pair: x [2, N3, C], skips [2, N_l, C_l].
+    """
 
     out_dim: int  # final head width (final_feats_dim + 2, or ratio*3)
 
@@ -123,7 +141,7 @@ class KPDecoder(nn.Module):
                 width //= 2
             else:
                 x = nn.Dense(self.out_dim, name="last_unary")(x)
-                x = jnp.where(lv[0].mask[:, None], x, 0.0)
+                x = jnp.where(lv[0].mask[..., None], x, 0.0)
         return x
 
 
@@ -147,36 +165,32 @@ class KPFCNN(nn.Module):
 
     @nn.compact
     def __call__(self, pyr0: KPPyramid, pyr1: KPPyramid) -> KPFCNNOutputs:
+        pyr = stack_pair(pyr0, pyr1)
         encoder = KPEncoder(
             self.first_feats_dim, self.first_subsampling_dl,
             self.conv_radius, self.kp_extent, self.num_kernel_points,
             deformable=self.deformable, modulated=self.modulated,
             name="encoder",
         )
-        x0, skips0 = encoder(pyr0)
-        x1, skips1 = encoder(pyr1)
-        mask0_c = pyr0.levels[-1].mask
-        mask1_c = pyr1.levels[-1].mask
+        x, skips = encoder(pyr)                      # x: [2, N3, 2048]
+        mask_c = pyr.levels[-1].mask                 # [2, N3]
 
         bottle = nn.Dense(self.gnn_feats_dim, name="bottle")
-        f0 = jnp.where(mask0_c[:, None], bottle(x0), 0.0)
-        f1 = jnp.where(mask1_c[:, None], bottle(x1), 0.0)
-        uncond0, uncond1 = f0, f1
+        f = jnp.where(mask_c[..., None], bottle(x), 0.0)
+        uncond = f
 
         gnn = GCN(self.gnn_feats_dim, self.nets, self.dgcnn_k,
                   self.num_head, name="gnn")
-        f0, f1 = gnn(pyr0.levels[-1].points, pyr1.levels[-1].points,
-                     f0, f1, mask0_c, mask1_c)
+        f0, f1 = gnn(pyr.levels[-1].points[0], pyr.levels[-1].points[1],
+                     f[0], f[1], mask_c[0], mask_c[1])
+        f = jnp.stack([f0, f1])
 
         proj_gnn = nn.Dense(self.gnn_feats_dim, name="proj_gnn")
         proj_score = nn.Dense(1, name="proj_score")
-        g0 = jnp.where(mask0_c[:, None], proj_gnn(f0), 0.0)
-        g1 = jnp.where(mask1_c[:, None], proj_gnn(f1), 0.0)
-        s0 = proj_score(g0)  # [N0c, 1] raw overlap scores
-        s1 = proj_score(g1)
+        g = jnp.where(mask_c[..., None], proj_gnn(f), 0.0)
+        s = proj_score(g)                            # [2, N3, 1] raw scores
 
-        n0 = g0 / jnp.maximum(jnp.linalg.norm(g0, axis=1, keepdims=True), 1e-12)
-        n1 = g1 / jnp.maximum(jnp.linalg.norm(g1, axis=1, keepdims=True), 1e-12)
+        nrm = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
 
         # strong-typed scalar: a weak-typed init flips to strong after the
         # first optimizer step and forces a full train_step recompile
@@ -184,27 +198,24 @@ class KPFCNN(nn.Module):
             "epsilon", lambda k: jnp.full((), -5.0, jnp.float32)
         )
         temperature = jnp.exp(epsilon) + 0.03
-        inner = jnp.dot(n0, n1.T, precision=jax.lax.Precision.HIGHEST)
-        logits01 = jnp.where(mask1_c[None, :], inner / temperature, -1e9)
-        logits10 = jnp.where(mask0_c[None, :], inner.T / temperature, -1e9)
-        sal0 = jax.nn.softmax(logits01, axis=1) @ s1  # cross-saliency [N0c,1]
-        sal1 = jax.nn.softmax(logits10, axis=1) @ s0
+        inner = jnp.dot(nrm[0], nrm[1].T, precision=jax.lax.Precision.HIGHEST)
+        logits01 = jnp.where(mask_c[1][None, :], inner / temperature, -1e9)
+        logits10 = jnp.where(mask_c[0][None, :], inner.T / temperature, -1e9)
+        sal0 = jax.nn.softmax(logits01, axis=1) @ s[1]  # cross-saliency [N0c,1]
+        sal1 = jax.nn.softmax(logits10, axis=1) @ s[0]
+        sal = jnp.stack([sal0, sal1])
 
-        def condition(s, sal, g, uncond):
-            if self.condition_feature and self.add_cross_score:
-                return jnp.concatenate([s, sal, g], axis=1)
-            if self.condition_feature:
-                return jnp.concatenate([s, g], axis=1)
-            if self.add_cross_score:
-                return jnp.concatenate([s, sal, uncond], axis=1)
-            return jnp.concatenate([s, uncond], axis=1)
-
-        d0 = condition(s0, sal0, g0, uncond0)
-        d1 = condition(s1, sal1, g1, uncond1)
+        if self.condition_feature and self.add_cross_score:
+            d = jnp.concatenate([s, sal, g], axis=-1)
+        elif self.condition_feature:
+            d = jnp.concatenate([s, g], axis=-1)
+        elif self.add_cross_score:
+            d = jnp.concatenate([s, sal, uncond], axis=-1)
+        else:
+            d = jnp.concatenate([s, uncond], axis=-1)
 
         decoder = KPDecoder(self.final_feats_dim + 2, name="decoder")
-        y0 = decoder(d0, skips0, pyr0)
-        y1 = decoder(d1, skips1, pyr1)
+        y = decoder(d, skips, pyr)                   # [2, N0, F+2]
 
         def heads(y, mask):
             feats = y[:, : self.final_feats_dim]
@@ -220,8 +231,8 @@ class KPFCNN(nn.Module):
             ) * mask
             return feats, overlap, saliency
 
-        feats0, overlap0, saliency0 = heads(y0, pyr0.levels[0].mask)
-        feats1, overlap1, saliency1 = heads(y1, pyr1.levels[0].mask)
+        feats0, overlap0, saliency0 = heads(y[0], pyr0.levels[0].mask)
+        feats1, overlap1, saliency1 = heads(y[1], pyr1.levels[0].mask)
         return KPFCNNOutputs(
             feats0=feats0, feats1=feats1,
             overlap0=overlap0, overlap1=overlap1,
@@ -231,8 +242,10 @@ class KPFCNN(nn.Module):
 
 class KPFCNNDecoder(nn.Module):
     """Symmetric NPR decoder (architectures.py:215-340): a second KPConv
-    U-Net over the same pyramid consuming the encoder's output features,
-    ending in ratio*3 offsets (L2-normalized like the reference)."""
+    U-Net over the same pair of pyramids consuming the encoder's output
+    features (``batch['second_features']`` carries BOTH clouds stacked in
+    the reference, so its norms are joint too), ending in ratio*3 offsets,
+    L2-normalized (architectures.py:339)."""
 
     point_generation_ratio: int = 4
     first_feats_dim: int = 256
@@ -244,8 +257,9 @@ class KPFCNNDecoder(nn.Module):
     modulated: bool = False
 
     @nn.compact
-    def __call__(self, feats, pyr: KPPyramid):
-        lv = pyr.levels
+    def __call__(self, feats0, feats1, pyr0: KPPyramid, pyr1: KPPyramid):
+        pyr = stack_pair(pyr0, pyr1)
+        feats = jnp.stack([feats0, feats1])
         encoder = KPEncoder(
             self.first_feats_dim, self.first_subsampling_dl,
             self.conv_radius, self.kp_extent, self.num_kernel_points,
@@ -255,5 +269,6 @@ class KPFCNNDecoder(nn.Module):
         x_b, skips = encoder(pyr, feats)
         decoder = KPDecoder(self.point_generation_ratio * 3, name="decoder")
         out = decoder(x_b, skips, pyr)
-        norm = jnp.maximum(jnp.linalg.norm(out, axis=1, keepdims=True), 1e-12)
-        return jnp.where(lv[0].mask[:, None], out / norm, 0.0)
+        norm = jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        out = jnp.where(pyr.levels[0].mask[..., None], out / norm, 0.0)
+        return out[0], out[1]

@@ -22,11 +22,18 @@ from apr_tpu.models.layers import MaskedBatchNorm
 
 
 class GenerativeMLP(nn.Module):
-    """Per-point offset generator; call with (feats [..., C], mask [...])."""
+    """Per-point offset generator; call with (feats [..., C], mask [...]).
+
+    ``final_bn``: the Predator flavor (Predator_APR/models/mlp.py:120-133)
+    has an always-true branch (`if layer_idx < len(CHANNELS)-1` inside
+    `range(len(CHANNELS)-1)`) so its LAST layer is Linear-ReLU-BatchNorm
+    too, unlike FCGF's Linear-ReLU ending — preserved for .pth fidelity.
+    """
 
     hidden: Sequence[int] = (512, 256)  # GenerativeMLP_98 default
     out_points: int = 6                 # point_generation_ratio
     bn_momentum: float = 0.1
+    final_bn: bool = False
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
@@ -38,6 +45,10 @@ class GenerativeMLP(nn.Module):
             )
         x = nn.Dense(self.out_points * 3)(x)
         x = nn.relu(x)
+        if self.final_bn:
+            x = MaskedBatchNorm(momentum=self.bn_momentum)(
+                x, mask, use_running_average=not train
+            )
         return jnp.where(mask[..., None], x, 0.0)
 
 
@@ -51,7 +62,9 @@ MLP_VARIANTS = {
 }
 
 
-def make_generative_mlp(name: str, out_points: int, bn_momentum: float = 0.1):
+def make_generative_mlp(name: str, out_points: int, bn_momentum: float = 0.1,
+                        final_bn: bool = False):
     return GenerativeMLP(
-        hidden=MLP_VARIANTS[name], out_points=out_points, bn_momentum=bn_momentum
+        hidden=MLP_VARIANTS[name], out_points=out_points,
+        bn_momentum=bn_momentum, final_bn=final_bn,
     )

@@ -177,16 +177,27 @@ def _zrun_maps(
         support_keys, t0.reshape(-1), method="sort"
     ).astype(jnp.int32).reshape(len(xy), c)
 
-    # decode all groups in one gather: positions j0..j0+k-1 hold every
-    # present target; t = value - first_target identifies the oz slot
+    # decode all groups by gathering each window [j0, j0+k) as ONE ROW of a
+    # precomputed [S, k] shifted-keys matrix: G*C row gathers instead of
+    # G*k*C scalar gathers.  TPU pads every gathered unit to a 128-lane
+    # tile, so scalar gathers waste 128x the bandwidth; rows waste 128/k —
+    # measured 155 -> ~20 ms for the 5^3 map at KITTI scale on v5e.
+    shifted = [
+        jnp.concatenate([
+            support_keys[m:],
+            jnp.full((m,), INVALID_KEY, support_keys.dtype),
+        ])
+        for m in range(k)
+    ]
+    kst = jnp.stack(shifted, axis=1)                       # [S, k]
+    v = kst[jnp.minimum(j0, s - 1)]                        # [G, C, k]
+    t = v - t0[:, :, None]                                 # oz slot of each
     offs_m = jnp.arange(k, dtype=jnp.int32)
-    idx = jnp.minimum(j0[:, None, :] + offs_m[None, :, None], s - 1)
-    v = support_keys[idx.reshape(-1)].reshape(len(xy), k, c)
-    t = v - t0[:, None, :]
+    idx = jnp.minimum(j0[:, :, None] + offs_m[None, None, :], s - 1)
     slots = []
     for oz in range(k):
-        hit = (t == oz) & ok[:, None, :]
-        slots.append(jnp.min(jnp.where(hit, idx, s), axis=1))  # [G, C]
+        hit = (t == oz) & ok[:, :, None]
+        slots.append(jnp.min(jnp.where(hit, idx, s), axis=2))  # [G, C]
     stacked = jnp.stack(slots, axis=1)          # [G, k, C]
     return stacked.reshape(len(xy) * k, c)      # offsets_grid order
 
@@ -228,7 +239,13 @@ def transpose_kernel_map(down: jnp.ndarray, n_fine: int,
 
 
 def downsample_level(level: SparseLevel, capacity: int) -> SparseLevel:
-    """Coarsen by 2: unique floor-halved coords, fixed capacity."""
+    """Coarsen by 2: unique floor-halved coords, fixed capacity.
+
+    NOTE: halved X-MAJOR packed keys are NOT sorted even though the input
+    keys are (floor-halving x can merge groups whose y/z order then flips),
+    so this needs the full sorting unique — the boundary-scan shortcut only
+    works for Morton keys (see ops.voxelize.voxelize_pyramid).
+    """
     coarse_coords = level.coords >> 1  # floor division incl. negatives
     keys = jnp.where(level.mask, pack_coords(coarse_coords), INVALID_KEY)
     uniq = jnp.unique(keys, size=capacity, fill_value=INVALID_KEY)
@@ -270,7 +287,6 @@ def build_pyramid(
     for cap in capacities[1:]:
         levels.append(downsample_level(levels[-1], cap))
 
-    same_maps = tuple(kernel_map_same_fast(lv, 3) for lv in levels)
     down_maps = tuple(
         kernel_map_down_fast(levels[l + 1], levels[l], 3)
         for l in range(len(levels) - 1)
@@ -281,6 +297,21 @@ def build_pyramid(
         for l in range(len(levels) - 1)
     )
     conv1_map = kernel_map_same_fast(levels[0], conv1_kernel_size)
+    # the level-0 3^3 same map is the central sub-block of the conv1 map
+    # whenever conv1 covers it (k >= 3, odd) — skip its whole zrun build
+    if conv1_kernel_size >= 3:
+        r1 = conv1_kernel_size // 2
+        sel = [
+            ((ox + r1) * conv1_kernel_size + (oy + r1)) * conv1_kernel_size
+            + (oz + r1)
+            for ox in (-1, 0, 1) for oy in (-1, 0, 1) for oz in (-1, 0, 1)
+        ]
+        same0 = conv1_map[:, jnp.asarray(sel)]
+    else:
+        same0 = kernel_map_same_fast(levels[0], 3)
+    same_maps = (same0,) + tuple(
+        kernel_map_same_fast(lv, 3) for lv in levels[1:]
+    )
     return SparsePyramid(
         levels=tuple(levels),
         same_maps=same_maps,

@@ -16,12 +16,13 @@ FCGF_APR/lib/complement_trainer.py:446-448).  This module cuts the work
 3. brute-force the [tile, window] distances with per-coordinate difference
    planes (same layout as ops.chamfer) and a masked min/argmin.
 
-Unlike the bucketed path in ops.chamfer_grid (searchsorted + 27 gathers PER
-QUERY — which XLA-TPU schedules pathologically inside the differentiated
-train step), every memory access here is a contiguous slice; the pattern
-embeds cleanly under vmap + grad (verified in the train step on v5e).
+Unlike a 27-cell bucketed lookup (searchsorted + 27 gathers PER QUERY —
+which XLA-TPU scheduled pathologically inside the differentiated train step;
+that mode was deleted in round 3), every memory access here is a contiguous
+slice; the pattern embeds cleanly under vmap + grad (verified in the train
+step on v5e).
 
-Clamp semantics (identical to ops.chamfer_grid): queries whose nearest
+Clamp semantics: queries whose nearest
 found support is farther than ``2 * cell_size`` — or whose window holds no
 candidate — contribute the clamped distance ``(2 * cell_size)^2`` with zero
 gradient.  Choose cell_size generously (default 4 voxels) so this only
@@ -121,7 +122,7 @@ def _directed_window(q: SortedCloud, s: SortedCloud, cell_size: float,
         d2 = jnp.where(wvalid[None, :], d2, jnp.inf)
         best = jnp.min(d2, axis=1)
         arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        # clamp semantics (ops.chamfer_grid): no candidate in the window OR
+        # clamp semantics: no candidate in the window OR
         # nearest farther than 2*cell -> fallback, zero gradient
         unresolved = ~(best < fallback)
         best = jnp.where(unresolved, fallback, best)
@@ -175,6 +176,28 @@ def windowed_nn_distances(
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def chamfer_distance_window_stats(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    a_mask: Optional[jnp.ndarray] = None,
+    b_mask: Optional[jnp.ndarray] = None,
+    cell_size: float = 1.2,
+    tile: int = 1024,
+    window: int = 4096,
+):
+    """(chamfer, clamp_fraction): bidirectional windowed Chamfer plus the
+    fraction of valid queries (both directions pooled) that hit the
+    ``(2*cell_size)^2`` clamp — the loss-bias telemetry for sparse regions
+    (distant LiDAR rings).  The fraction carries zero gradient.
+
+    Each cloud is key-sorted ONCE; the sorted views serve as queries in one
+    direction and supports in the other.
+    """
+    (val, frac), _ = _chamfer_window_fwd(a, b, a_mask, b_mask, cell_size,
+                                         tile, window)
+    return val, frac
+
+
 def chamfer_distance_window(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -184,13 +207,9 @@ def chamfer_distance_window(
     tile: int = 1024,
     window: int = 4096,
 ) -> jnp.ndarray:
-    """Bidirectional windowed Chamfer (reference normalization).
-
-    Each cloud is key-sorted ONCE; the sorted views serve as queries in one
-    direction and supports in the other.
-    """
-    val, _ = _chamfer_window_fwd(a, b, a_mask, b_mask, cell_size, tile,
-                                 window)
+    """Bidirectional windowed Chamfer (reference normalization)."""
+    val, _ = chamfer_distance_window_stats(a, b, a_mask, b_mask, cell_size,
+                                           tile, window)
     return val
 
 
@@ -205,12 +224,19 @@ def _chamfer_window_fwd(a, b, a_mask, b_mask, cell_size, tile, window):
     mean_ab, idx_ab, n_a = _directed_window(sa, sb, cell_size, tile, window)
     mean_ba, idx_ba, n_b = _directed_window(sb, sa, cell_size, tile, window)
     val = mean_ab + mean_ba
-    return val, (a, b, idx_ab, idx_ba, n_a, n_b)
+    # clamp-hit telemetry: unresolved valid queries carry idx == N_support
+    clamped = (jnp.sum(jnp.where(a_mask, (idx_ab >= nb).astype(jnp.float32),
+                                 0.0))
+               + jnp.sum(jnp.where(b_mask, (idx_ba >= na).astype(jnp.float32),
+                                   0.0)))
+    frac = clamped / jnp.maximum(n_a + n_b, 1.0)
+    return (val, frac), (a, b, idx_ab, idx_ba, n_a, n_b)
 
 
 def _chamfer_window_bwd(cell_size, tile, window, res, g):
     # per-coordinate 1-D gathers/scatters: [N, 3] row gathers pad the 3-lane
     # trailing axis to the 128-lane tile on TPU (~42x wasted work)
+    g, _ = g  # cotangent for (val, frac); frac is non-differentiable
     a, b, idx_ab, idx_ba, n_a, n_b = res
     na, nb = a.shape[0], b.shape[0]
 
@@ -236,4 +262,4 @@ def _chamfer_window_bwd(cell_size, tile, window, res, g):
     return jnp.stack(da_c, -1), jnp.stack(db_c, -1), None, None
 
 
-chamfer_distance_window.defvjp(_chamfer_window_fwd, _chamfer_window_bwd)
+chamfer_distance_window_stats.defvjp(_chamfer_window_fwd, _chamfer_window_bwd)

@@ -47,3 +47,61 @@ def unpack_coords(keys: jnp.ndarray) -> jnp.ndarray:
     y = (keys >> COORD_BITS) & mask
     z = keys & mask
     return jnp.stack([x, y, z], axis=-1).astype(jnp.int32) - _OFFSET
+
+
+# --- Morton (interleaved-bit) packing -------------------------------------
+#
+# The bit-field packing above sorts x-major LEXICOGRAPHICALLY — but halving
+# coordinates does NOT preserve that order (merging two x cells can flip the
+# y/z tie-break).  Morton keys interleave the bits, so halving ALL
+# coordinates is one scalar ``key >> 3`` — trivially order-preserving —
+# which lets a voxel pyramid reuse ONE sort for every level
+# (ops.voxelize.voxelize_pyramid).  10 bits/axis -> keys < 2^30, int32-safe;
+# INVALID_KEY still sorts after every valid key.
+
+def _spread3(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v to every 3rd bit position."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _compact3(v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_spread3`."""
+    v = v & 0x09249249
+    v = (v | (v >> 2)) & 0x030C30C3
+    v = (v | (v >> 4)) & 0x0300F00F
+    v = (v | (v >> 8)) & 0x030000FF
+    v = (v | (v >> 16)) & (COORD_RANGE - 1)
+    return v
+
+
+def morton_pack(coords: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved-bit packing of integer coords [..., 3] -> int32 keys.
+
+    Collision-free over [-512, 511]^3 (out-of-range clipped, like
+    :func:`pack_coords`).  ``morton_pack(c) >> 3 == morton_pack(c >> 1)``
+    for in-range c — the pyramid-coarsening identity.
+    """
+    c = jnp.clip(coords.astype(jnp.int32) + _OFFSET, 0, COORD_RANGE - 1)
+    return (
+        (_spread3(c[..., 0]) << 2)
+        | (_spread3(c[..., 1]) << 1)
+        | _spread3(c[..., 2])
+    )
+
+
+def morton_unpack(keys: jnp.ndarray, level: int = 0) -> jnp.ndarray:
+    """Inverse of :func:`morton_pack`.
+
+    ``level``: keys produced by ``morton_pack(c) >> 3*level`` decode to the
+    level's coords ``(c >> level)`` — the offset subtracted is scaled down
+    accordingly.
+    """
+    x = _compact3(keys >> 2)
+    y = _compact3(keys >> 1)
+    z = _compact3(keys)
+    off = _OFFSET >> level
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32) - off

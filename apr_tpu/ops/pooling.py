@@ -32,22 +32,29 @@ def gather_neighbors(
 
     Sentinel index Ns yields a zero feature row — the shadow-point convention
     of the reference (blocks.py:269 pads features with a zero row before
-    gathering).
+    gathering).  Also accepts stacked clouds [P, Ns, F] + [P, Nq, K].
     """
+    if feats.ndim == 3:
+        return jax.vmap(gather_neighbors)(feats, neighbor_idx)
     ns = feats.shape[0]
     padded = jnp.concatenate([feats, jnp.zeros((1,) + feats.shape[1:], feats.dtype)], 0)
     return padded[jnp.minimum(neighbor_idx, ns)]
 
 
 def max_pool_neighbors(feats: jnp.ndarray, neighbor_idx: jnp.ndarray) -> jnp.ndarray:
-    """Max over each row's valid neighbors; shadow rows contribute -inf.
+    """Max over each row's neighbors; shadow rows contribute a ZERO feature.
 
-    Parity with the reference's ``max_pool`` (blocks.py:61-74), which pads
-    with -1e6 features before the max.
+    Exact parity with the reference's ``max_pool`` (blocks.py:86-103): despite
+    its "minimum features" comment it pads with ``torch.zeros_like``, so the
+    max is floored at 0 wherever a row has any shadow neighbor — a quirk that
+    matters after leaky_relu (features can be negative) and is preserved here
+    for checkpoint fidelity.  Also accepts stacked clouds [P, Ns, F].
     """
+    if feats.ndim == 3:
+        return jax.vmap(max_pool_neighbors)(feats, neighbor_idx)
     ns = feats.shape[0]
     padded = jnp.concatenate(
-        [feats, jnp.full((1,) + feats.shape[1:], -1e6, feats.dtype)], 0
+        [feats, jnp.zeros((1,) + feats.shape[1:], feats.dtype)], 0
     )
     gathered = padded[jnp.minimum(neighbor_idx, ns)]
     return jnp.max(gathered, axis=1)

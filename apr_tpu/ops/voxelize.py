@@ -114,6 +114,100 @@ def voxelize(
     )
 
 
+def unique_of_sorted(sorted_keys: jnp.ndarray, capacity: int):
+    """``jnp.unique(size=capacity)`` for ALREADY-SORTED keys — a boundary
+    scan instead of a fresh O(N log N) sort.
+
+    ``sorted_keys`` must be non-decreasing with INVALID_KEY padding at the
+    tail.  Returns (uniq [capacity] ascending INVALID-padded with the
+    largest keys dropped on overflow, seg [N] segment id per row with
+    sentinel ``capacity`` for padding/overflow rows).
+    """
+    valid = sorted_keys != INVALID_KEY
+    is_new = valid & jnp.concatenate([
+        jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]
+    ])
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    seg = jnp.where(valid & (seg < capacity), seg, capacity)
+    # segment_min identity is int32 max == INVALID_KEY: empty segments pad
+    uniq = jax.ops.segment_min(
+        jnp.where(valid, sorted_keys, INVALID_KEY), seg,
+        num_segments=capacity + 1,
+    )[:capacity]
+    return uniq, seg
+
+
+def voxelize_pyramid(
+    points: jnp.ndarray,
+    base_voxel: float,
+    capacities,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """All pyramid levels (voxel = base * 2^l) from ONE argsort.
+
+    Semantically equivalent to ``tuple(voxelize(points, base_voxel * 2**l,
+    capacities[l], mask) for l)`` up to voxel ORDERING, but ~L times cheaper:
+    points are sorted ONCE by level-0 MORTON key; the level-l key is the
+    scalar ``key0 >> 3*l`` (= Morton of the floor-halved coords), which keeps
+    the same sorted order, so each coarser level is a boundary scan
+    (:func:`unique_of_sorted`), not a fresh sort.
+
+    Ordering caveat: voxels come out in MORTON order and ``keys`` holds
+    morton keys — NOT the x-major :func:`pack_coords` keys ``voxelize``
+    emits.  The KPConv pyramid consumes barycenters/masks only, where order
+    is irrelevant; don't mix these grids with searchsorted logic built on
+    pack_coords keys.  X-major keys flip order under floor-halving (merging
+    two x cells re-ties on y/z), which is why the boundary-scan trick needs
+    Morton.  Overflow beyond ``capacities[l]`` drops the morton-largest
+    voxels (voxelize drops the pack-largest — degenerate either way).
+    """
+    from apr_tpu.ops.hashing import morton_pack, morton_unpack
+
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+
+    coords0 = jnp.floor(points / base_voxel).astype(jnp.int32)
+    key0 = jnp.where(mask, morton_pack(coords0), INVALID_KEY)
+    order = jnp.argsort(key0).astype(jnp.int32)
+    k_sorted = key0[order]
+    p_sorted = points[order]
+    valid_sorted = k_sorted != INVALID_KEY
+    orig_idx = order
+
+    grids = []
+    for l, cap in enumerate(capacities):
+        k_l = jnp.where(valid_sorted, k_sorted >> (3 * l), INVALID_KEY)
+        uniq, seg = unique_of_sorted(k_l, cap)
+        vox_mask = uniq != INVALID_KEY
+        found = seg < cap
+        ones = found.astype(jnp.int32)
+        counts = jax.ops.segment_sum(ones, seg, num_segments=cap + 1)[:cap]
+        psum = jax.ops.segment_sum(
+            jnp.where(found[:, None], p_sorted, 0.0), seg,
+            num_segments=cap + 1,
+        )[:cap]
+        barycenter = psum / jnp.maximum(counts, 1)[:, None]
+        rep = jax.ops.segment_min(
+            jnp.where(found, orig_idx, n), seg, num_segments=cap + 1
+        )[:cap]
+        rep = jnp.where(vox_mask, rep, n).astype(jnp.int32)
+        point_voxel = (
+            jnp.full((n,), cap, jnp.int32).at[order].set(
+                jnp.minimum(seg, cap).astype(jnp.int32))
+        )
+        grids.append(VoxelGrid(
+            coords=jnp.where(vox_mask[:, None], morton_unpack(uniq, l), 0),
+            keys=uniq,
+            mask=vox_mask,
+            point_voxel=point_voxel,
+            counts=counts,
+            barycenter=jnp.where(vox_mask[:, None], barycenter, 0.0),
+            rep=rep,
+        ))
+    return tuple(grids)
+
+
 def voxel_down_sample(
     points: jnp.ndarray,
     voxel_size: float,

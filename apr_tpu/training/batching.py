@@ -45,8 +45,7 @@ class PairBatch(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("voxel_size", "capacities", "conv1_kernel_size",
-                     "corr_cap", "search_multiplier", "with_correspondences",
-                     "apc_sort_cell"),
+                     "corr_cap", "search_multiplier", "with_correspondences"),
 )
 def make_pair_batch(
     points0: jnp.ndarray,   # [B, N, 3] padded raw points
@@ -64,7 +63,6 @@ def make_pair_batch(
     corr_cap: int = 1,
     search_multiplier: float = 1.5,
     with_correspondences: bool = True,
-    apc_sort_cell: float = 0.0,
 ) -> PairBatch:
     """Voxelize both clouds, build pyramids, find GT correspondences.
 
@@ -106,19 +104,13 @@ def make_pair_batch(
     )
 
     # voxel-dedup the APC targets (reference sel_nghb quantization,
-    # complement_data_loader.py:669-674) — also bounds per-cell occupancy
-    # for the grid Chamfer's no-truncation guarantee — and pre-sort them by
-    # chamfer cell key so the training step needs no in-graph sort
+    # complement_data_loader.py:669-674)
     def dedup(apc, am):
         g = voxelize(apc, voxel_size, apc.shape[0], am)
         n = apc.shape[0]
         pts = jnp.where(
             (g.rep < n)[:, None], apc[jnp.minimum(g.rep, n - 1)], 0.0
         )
-        if apc_sort_cell > 0:
-            from apr_tpu.ops.chamfer_grid import sort_supports_by_cell
-
-            return sort_supports_by_cell(pts, g.mask, apc_sort_cell)
         return pts, g.mask
 
     if apc0.shape[1] > 8:  # skip for the dummy test-time placeholders

@@ -81,8 +81,7 @@ def make_kp_pair_batch(
         mask0=pyr0.levels[0].mask, mask1=pyr1.levels[0].mask,
     )
 
-    # voxel-dedup APC targets (kitti.py voxelizes nghb clouds too) — bounds
-    # cell occupancy for the grid Chamfer's exactness guarantee
+    # voxel-dedup APC targets (kitti.py voxelizes nghb clouds too)
     if apc0.shape[0] > 8:
         from apr_tpu.ops.voxelize import voxelize
 
@@ -142,21 +141,36 @@ class PredatorTrainer:
                 modulated=c.modulated,
             )
         else:
+            # final_bn: the Predator MLP flavor ends Linear-ReLU-BatchNorm
+            # (always-true branch, Predator_APR/models/mlp.py:120-133)
             self.generator = make_generative_mlp(
                 c.generator_model, out_points=c.point_generation_ratio,
+                final_bn=True,
             )
         self.tx = self._make_optimizer()
 
     def _make_optimizer(self):
         c = self.config
 
+        def wd_mask(params):
+            # kernel_points are frozen buffers (requires_grad=False in the
+            # reference, blocks.py:225-230): stop_gradient zeroes their
+            # grads, and this mask keeps weight decay off them too
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: not any(
+                    getattr(k, "key", None) == "kernel_points" for k in path
+                ),
+                params,
+            )
+
         def opt(learning_rate):
             if c.optimizer == "SGD":
                 return optax.chain(
-                    optax.add_decayed_weights(c.weight_decay),
+                    optax.add_decayed_weights(c.weight_decay, mask=wd_mask),
                     optax.sgd(learning_rate, momentum=c.sgd_momentum),
                 )
-            return optax.adamw(learning_rate, weight_decay=c.weight_decay)
+            return optax.adamw(learning_rate, weight_decay=c.weight_decay,
+                               mask=wd_mask)
 
         tx = optax.inject_hyperparams(opt)(learning_rate=c.lr)
         if c.iter_size > 1:
@@ -189,8 +203,8 @@ class PredatorTrainer:
         f_dummy = jnp.zeros((n0, self.config.final_feats_dim))
         if self.symmetric:
             gv = jax.jit(
-                lambda k, f, p: self.generator.init(k, f, p)
-            )(k_g, f_dummy, batch.pyr0)
+                lambda k, f, p0, p1: self.generator.init(k, f, f, p0, p1)
+            )(k_g, f_dummy, batch.pyr0, batch.pyr1)
         else:
             gv = jax.jit(
                 lambda k, f, m: self.generator.init(k, f, m, train=False)
@@ -233,12 +247,19 @@ class PredatorTrainer:
         )
 
         # generative branch: offsets anchored on metric points, no voxel scale
-        def gen_branch(feats, anchors, mask, apc, apc_mask, gstats, pyr):
+        mo_pair = [None, None]
+        if self.symmetric:
+            # one stacked-pair pass: the reference decoder consumes both
+            # clouds' features jointly (architectures.py:326 second_features)
+            mo_pair = self.generator.apply(
+                {"params": params["generator"]},
+                out.feats0, out.feats1, batch.pyr0, batch.pyr1,
+            )
+
+        def gen_branch(feats, anchors, mask, apc, apc_mask, gstats, mo):
             variables = {"params": params["generator"], "batch_stats": gstats}
             if self.symmetric:
-                mo = self.generator.apply(
-                    {"params": params["generator"]}, feats, pyr
-                )
+                pass  # mo precomputed above
             elif train:
                 mo, upd = self.generator.apply(
                     variables, feats, mask, train=True, mutable=["batch_stats"]
@@ -246,7 +267,7 @@ class PredatorTrainer:
                 gstats = upd["batch_stats"]
             else:
                 mo = self.generator.apply(variables, feats, mask, train=False)
-            total, cd, reg = npr_reconstruction(
+            total, cd, reg, clamp = npr_reconstruction(
                 mo, anchors, apc, mask, apc_mask,
                 voxel_size=1.0,
                 reg_type="L2",
@@ -255,16 +276,15 @@ class PredatorTrainer:
                 chamfer_cell_size=(
                     c.chamfer_cell_multiplier * c.first_subsampling_dl
                 ),
-                chamfer_bucket_cap=c.chamfer_bucket_cap,
             )
-            return total, cd, reg, gstats
+            return total, cd, reg, clamp, gstats
 
-        g0, cd0, reg0, gstats = gen_branch(
+        g0, cd0, reg0, clamp0, gstats = gen_branch(
             out.feats0, src, m0, batch.apc0, batch.apc0_mask,
-            batch_stats["generator"], batch.pyr0)
-        g1, cd1, reg1, gstats = gen_branch(
+            batch_stats["generator"], mo_pair[0])
+        g1, cd1, reg1, clamp1, gstats = gen_branch(
             out.feats1, tgt, m1, batch.apc1, batch.apc1_mask, gstats,
-            batch.pyr1)
+            mo_pair[1])
 
         loss = (
             stats["circle_loss"] * c.w_circle_loss
@@ -277,17 +297,14 @@ class PredatorTrainer:
             loss=loss,
             chamfer_loss=cd0 + cd1,
             regularization_loss=reg0 + reg1,
+            chamfer_clamp_frac=0.5 * (clamp0 + clamp1),
         )
         new_stats = dict(batch_stats, generator=gstats)
         return loss, (new_stats, metrics)
 
-    @partial(jax.jit, static_argnames=("self",))
-    def train_step(self, state: TrainState, batch: KPPairBatch, key,
-                   w_saliency):
-        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-            self.loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, key, w_saliency, True)
-
+    def _finite_gated_update(self, state, loss, grads, new_stats, metrics):
+        """Full skip on non-finite steps: weight decay + momentum would
+        still move params with zeroed grads (see FCGF trainer note)."""
         finite = jnp.isfinite(loss)
         leaves = jax.tree_util.tree_leaves(grads)
         finite = jnp.logical_and(
@@ -300,8 +317,6 @@ class PredatorTrainer:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
-        # full skip on non-finite steps: weight decay + momentum would
-        # still move params with zeroed grads (see FCGF trainer note)
         params = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old),
             params, state.params,
@@ -323,9 +338,56 @@ class PredatorTrainer:
         )
 
     @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, state: TrainState, batch: KPPairBatch, key,
+                   w_saliency):
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key, w_saliency, True)
+        return self._finite_gated_update(state, loss, grads, new_stats,
+                                         metrics)
+
+    @partial(jax.jit, static_argnames=("self",))
     def valid_step(self, state: TrainState, batch: KPPairBatch, key,
                    w_saliency):
         _, (_, metrics) = self.loss_fn(
             state.params, state.batch_stats, batch, key, w_saliency, False
+        )
+        return metrics
+
+    # --- data-parallel steps (SURVEY.md §2.4: pairs sharded over ICI) -----
+    #
+    # The reference trains Predator strictly single-GPU with batch_size 1
+    # (dataloader.py:76); the TPU-first scaling analog stacks B pairs on a
+    # leading axis (exactly like the sharded tester,
+    # eval/predator_tester.py:121-135), vmaps the per-pair loss, and lets
+    # GSPMD shard the stack over the mesh — gradients all-reduce over ICI.
+
+    def _batched_loss(self, params, batch_stats, batch: KPPairBatch, keys,
+                      w_saliency, train: bool):
+        def one(b, k):
+            return self.loss_fn(params, batch_stats, b, k, w_saliency, train)
+
+        losses, (new_stats, metrics) = jax.vmap(one)(batch, keys)
+        # batch_stats (generator MLP running stats) and scalar metrics
+        # average across the pair axis
+        new_stats = jax.tree.map(lambda a: jnp.mean(a, axis=0), new_stats)
+        metrics = jax.tree.map(lambda a: jnp.mean(a, axis=0), metrics)
+        return jnp.mean(losses), (new_stats, metrics)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step_batched(self, state: TrainState, batch: KPPairBatch,
+                           keys, w_saliency):
+        """batch: KPPairBatch with leading pair axis [B, ...]; keys [B, 2]."""
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            self._batched_loss, has_aux=True
+        )(state.params, state.batch_stats, batch, keys, w_saliency, True)
+        return self._finite_gated_update(state, loss, grads, new_stats,
+                                         metrics)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def valid_step_batched(self, state: TrainState, batch: KPPairBatch,
+                           keys, w_saliency):
+        _, (_, metrics) = self._batched_loss(
+            state.params, state.batch_stats, batch, keys, w_saliency, False
         )
         return metrics

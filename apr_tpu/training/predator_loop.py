@@ -1,9 +1,15 @@
 """Predator-path training loop (reference Predator_APR/lib/trainer.py:283-385).
 
-Per epoch: iterate pairs (batch of one), train_step, LR step, validation with
-circle-loss / recall tracking, ``model_best_loss`` / ``model_best_recall``
-snapshots, and the saliency-weight toggle: once validation feature-match
-recall exceeds 0.3, w_saliency flips from 0 to 1 (trainer.py:370-374).
+Per epoch: iterate pairs, train_step, LR step, validation with circle-loss /
+recall tracking, ``model_best_loss`` / ``model_best_recall`` snapshots, and
+the saliency-weight toggle: once validation feature-match recall exceeds 0.3,
+w_saliency flips from 0 to 1 (trainer.py:370-374).
+
+Data-parallel over ICI (SURVEY.md §2.4): the reference trains single-GPU with
+batch_size 1 (dataloader.py:76); here each step stacks one pair per mesh
+device on a leading axis, shards the stack (GSPMD inserts the gradient
+all-reduce), and the host prefetch pipeline assembles the next group while
+the device steps.
 """
 
 from __future__ import annotations
@@ -19,6 +25,7 @@ import numpy as np
 from apr_tpu.config import APRConfig
 from apr_tpu.data.datasets import make_dataset
 from apr_tpu.data.synthetic import pad_points
+from apr_tpu.parallel import make_mesh, replicate, shard_batch
 from apr_tpu.training.checkpoints import CheckpointManager
 from apr_tpu.training.loop import MetricsLogger
 from apr_tpu.training.predator import PredatorTrainer, make_kp_pair_batch
@@ -46,31 +53,62 @@ def pair_to_kp_batch(pair, config: APRConfig):
     )
 
 
-def _batch_iter(dataset, indices, config: APRConfig, prefetch: int = 2):
-    """Background-thread batch assembly: batch i+1's file reads + padding +
-    device-side pyramid build overlap batch i's train step (shared
-    machinery: apr_tpu.data.pipeline.prefetched)."""
+def _group_iter(dataset, indices, config: APRConfig, group: int, mesh,
+                prefetch: int = 2, pad_tail: bool = True):
+    """Background-thread assembly of ``group``-pair stacked batches: group
+    i+1's file reads + padding + device-side pyramid builds overlap group
+    i's train step (shared machinery: apr_tpu.data.pipeline.prefetched).
+
+    Yields (stacked KPPairBatch sharded over ``mesh``, n_real_pairs)."""
     from apr_tpu.data.pipeline import prefetched
 
-    yield from prefetched(
-        indices,
-        lambda i: pair_to_kp_batch(dataset.get_pair(int(i)), config),
-        prefetch,
-    )
+    indices = list(indices)
+    groups = [indices[i:i + group] for i in range(0, len(indices), group)]
+    if groups and not pad_tail and len(groups[-1]) < group:
+        groups.pop()  # train: drop ragged tail (reshuffled every epoch)
+
+    def build(idxs):
+        n_real = len(idxs)
+        idxs = list(idxs) + [idxs[-1]] * (group - len(idxs))
+        per = [pair_to_kp_batch(dataset.get_pair(int(i)), config)
+               for i in idxs]
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+        return shard_batch(batch, mesh), n_real
+
+    yield from prefetched(groups, build, prefetch)
 
 
 def run_predator_training(config: APRConfig,
                           max_epochs: Optional[int] = None) -> Dict:
     os.makedirs(config.out_dir, exist_ok=True)
+
+    # neighborhood calibration (reference Predator_APR/main.py:94-111):
+    # when the config does not pin limits, histogram the train set once and
+    # cap each layer at the 80th-percentile neighbor count
+    if not config.neighborhood_limits_pinned:
+        from apr_tpu.eval.predator_tester import calibrate_neighbors
+
+        train_ds_cal = make_dataset(config, "train")
+        limits = calibrate_neighbors(train_ds_cal, config)
+        log.info("calibrated neighborhood_limits: %s", limits)
+        config.neighborhood_limits = limits
+
     config.save_json(os.path.join(config.out_dir, "config.json"))
 
     trainer = PredatorTrainer(config)
     train_ds = make_dataset(config, "train")
     val_ds = make_dataset(config, "val")
 
+    devices = jax.devices()
+    if config.num_devices:
+        devices = devices[: config.num_devices]
+    mesh = make_mesh(devices)
+    n_dev = len(devices)
+
     key = jax.random.PRNGKey(config.seed)
     sample = pair_to_kp_batch(train_ds.get_pair(0), config)
     state = trainer.init_state(key, sample)
+    state = replicate(state, mesh)
 
     mngr = CheckpointManager(config.out_dir)
     metrics_log = MetricsLogger(config.out_dir)
@@ -82,6 +120,8 @@ def run_predator_training(config: APRConfig,
         rm = CheckpointManager(config.resume)
         if rm.latest_epoch() is not None:
             state, meta = rm.restore(state)
+            # restored leaves are host arrays: re-replicate onto the mesh
+            state = replicate(state, mesh)
             start_epoch = int(meta["epoch"])
             w_saliency = float(meta.get("w_saliency", w_saliency))
             best_loss = float(meta.get("best_loss", best_loss))
@@ -100,11 +140,13 @@ def run_predator_training(config: APRConfig,
         # deferred metric reads: float(step k-1's metrics) AFTER dispatching
         # step k — no per-step device sync (same pattern as loop.py)
         pending = None
-        for batch in _batch_iter(train_ds, order, config):
+        for batch, _ in _group_iter(train_ds, order, config, n_dev, mesh,
+                                    pad_tail=len(train_ds) <= n_dev):
             key, k = jax.random.split(key)
+            keys = jax.random.split(k, n_dev)
             timer.tic()
-            state, m = trainer.train_step(state, batch, k,
-                                          jnp.asarray(w_saliency))
+            state, m = trainer.train_step_batched(state, batch, keys,
+                                                  jnp.asarray(w_saliency))
             if pending is not None:
                 for name, v in pending.items():
                     meters.setdefault(name, AverageMeter()).update(float(v))
@@ -121,11 +163,22 @@ def run_predator_training(config: APRConfig,
             for name, v in pending.items():
                 meters.setdefault(name, AverageMeter()).update(float(v))
 
-        # validation
+        # validation: full groups run the sharded program; the ragged tail
+        # runs per pair (repetition-padding would bias the averages)
         vmeters: Dict[str, AverageMeter] = {}
-        for batch in _batch_iter(val_ds, range(len(val_ds)), config):
+        n_full = (len(val_ds) // n_dev) * n_dev
+        for batch, _ in _group_iter(val_ds, range(n_full), config, n_dev,
+                                    mesh):
             key, k = jax.random.split(key)
-            vm = trainer.valid_step(state, batch, k, jnp.asarray(w_saliency))
+            keys = jax.random.split(k, n_dev)
+            vm = trainer.valid_step_batched(state, batch, keys,
+                                            jnp.asarray(w_saliency))
+            for name, v in vm.items():
+                vmeters.setdefault(name, AverageMeter()).update(float(v))
+        for i in range(n_full, len(val_ds)):
+            key, k = jax.random.split(key)
+            vm = trainer.valid_step(state, pair_to_kp_batch(
+                val_ds.get_pair(i), config), k, jnp.asarray(w_saliency))
             for name, v in vm.items():
                 vmeters.setdefault(name, AverageMeter()).update(float(v))
         vs = {k_: mt.avg for k_, mt in vmeters.items()}

@@ -264,7 +264,7 @@ class FCGFTrainer:
         anchors = pyramid.levels[0].coords.astype(jnp.float32) * c.voxel_size
 
         def one(mo, anc, m, apc_b, apc_m):
-            total, cd, reg = npr_reconstruction(
+            return npr_reconstruction(
                 mo, anc, apc_b, m, apc_m,
                 voxel_size=c.voxel_size,
                 reg_type=c.regularization_type,
@@ -272,26 +272,12 @@ class FCGFTrainer:
                 alpha=c.alpha,
                 chamfer_mode=c.chamfer_mode,
                 chamfer_cell_size=c.chamfer_cell_multiplier * c.voxel_size,
-                chamfer_bucket_cap=c.chamfer_bucket_cap,
-                apc_sorted=c.chamfer_mode == "grid",
             )
-            return total, cd, reg
 
-        if c.chamfer_mode == "grid":
-            # per-cloud unrolled loop: vmapping the grid-chamfer
-            # sort/searchsorted/gather chain miscompiles on TPU (device
-            # fault), and lax.map executes it pathologically slowly
-            b = mlp_out.shape[0]
-            outs = [one(mlp_out[i], anchors[i], mask[i], apc[i], apc_mask[i])
-                    for i in range(b)]
-            total = sum(o[0] for o in outs)
-            cd = sum(o[1] for o in outs)
-            reg = sum(o[2] for o in outs)
-        else:
-            totals, cds, regs = jax.vmap(one)(mlp_out, anchors, mask, apc,
-                                              apc_mask)
-            total, cd, reg = jnp.sum(totals), jnp.sum(cds), jnp.sum(regs)
-        return total * c.loss_ratio, cd, reg, new_stats
+        totals, cds, regs, clamps = jax.vmap(one)(mlp_out, anchors, mask,
+                                                  apc, apc_mask)
+        total, cd, reg = jnp.sum(totals), jnp.sum(cds), jnp.sum(regs)
+        return total * c.loss_ratio, cd, reg, jnp.mean(clamps), new_stats
 
     # --- the train step -------------------------------------------------
 
@@ -320,16 +306,17 @@ class FCGFTrainer:
         metrics = {"pos_loss": pos_loss, "neg_loss": neg_loss}
 
         if self.generative:
-            gen0, cd0, reg0, gen_stats = self._generative_branch(
+            gen0, cd0, reg0, clamp0, gen_stats = self._generative_branch(
                 params, new_stats["generator"], f0, batch.pyramid0,
                 batch.apc0, batch.apc0_mask, train)
-            gen1, cd1, reg1, gen_stats = self._generative_branch(
+            gen1, cd1, reg1, clamp1, gen_stats = self._generative_branch(
                 params, gen_stats, f1, batch.pyramid1,
                 batch.apc1, batch.apc1_mask, train)
             new_stats = dict(new_stats, generator=gen_stats)
             loss = loss + gen0 + gen1
             metrics.update(
-                chamfer_loss=cd0 + cd1, regularization_loss=reg0 + reg1
+                chamfer_loss=cd0 + cd1, regularization_loss=reg0 + reg1,
+                chamfer_clamp_frac=0.5 * (clamp0 + clamp1),
             )
         metrics["loss"] = loss
         if return_feats:

@@ -33,6 +33,11 @@ def main(path: str):
     cfg = APRConfig.from_dict(flat)
 
     predator = cfg.trainer == "PredatorTrainer"
+    # reference parity (Predator_APR/main.py:94-111): the YAML path always
+    # calibrates neighborhood caps on the train set unless the YAML pins
+    # them explicitly
+    if predator and mode == "train" and "neighborhood_limits" not in flat:
+        cfg.neighborhood_limits_pinned = False
 
     if mode in ("train", "val"):
         if predator:

@@ -111,3 +111,63 @@ def test_chamfer_window_under_vmap_and_grad(rng):
     np.testing.assert_allclose(float(v), float(v_r), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_r), rtol=1e-3,
                                atol=1e-6)
+
+
+def test_clamp_fraction_telemetry_matches_numpy(rng):
+    """chamfer_distance_window_stats' clamp_frac == the exact-NN count of
+    queries whose true nearest neighbor lies beyond the 2*cell clamp."""
+    from apr_tpu.ops.chamfer_window import chamfer_distance_window_stats
+
+    cell = 2.0
+    a = _lidarish(rng, 1500)
+    b = _lidarish(rng, 2000) + rng.normal(0, 0.3, (2000, 3)).astype(np.float32)
+    # plant unambiguous strays far outside the other cloud
+    a[:40] += 500.0
+    b[:25] -= 500.0
+
+    val, frac = chamfer_distance_window_stats(
+        jnp.asarray(a), jnp.asarray(b), cell_size=cell, tile=256, window=2048)
+    assert np.isfinite(float(val))
+
+    d2_ab, _ = nn_distances(jnp.asarray(a), jnp.asarray(b))
+    d2_ba, _ = nn_distances(jnp.asarray(b), jnp.asarray(a))
+    want = (np.sum(np.asarray(d2_ab) >= (2 * cell) ** 2)
+            + np.sum(np.asarray(d2_ba) >= (2 * cell) ** 2)) / (1500 + 2000)
+    # window truncation can clamp a handful of extra borderline queries
+    # (lower bound allows f32 rounding of the fraction itself)
+    got = float(frac)
+    assert want - 1e-6 <= got <= want + 0.01, (got, want)
+    assert got >= 40 / 3500  # at least the planted strays
+
+
+def test_clamp_fraction_low_at_realistic_density(rng):
+    """Distant-ring LiDAR density (sparse at range): the default 4-voxel
+    cell keeps the clamp a rare-outlier event (< 5%), bounding the loss
+    bias the clamp introduces (round-2 verdict weak-item 6)."""
+    from apr_tpu.ops.chamfer_window import chamfer_distance_window_stats
+
+    def rings(seed, n):
+        r = np.random.default_rng(seed)
+        # ranges follow LiDAR geometry: area element grows with range, so
+        # sample radius ~ sqrt for near-uniform ground density, then thin
+        # the far field to emulate beam divergence sparsity
+        radius = 60.0 * np.sqrt(r.uniform(0.05, 1.0, n))
+        theta = r.uniform(0, 2 * np.pi, n)
+        keep = r.uniform(size=n) < np.clip(30.0 / radius, 0.15, 1.0)
+        radius, theta = radius[keep], theta[keep]
+        pts = np.stack([
+            radius * np.cos(theta), radius * np.sin(theta),
+            r.normal(0, 0.3, radius.shape[0]),
+        ], 1).astype(np.float32)
+        return pts
+
+    # NPR-style recon vs APC: same scene geometry, different sampling +
+    # generator noise (0.5 m), voxel 0.3 -> default cell 1.2, clamp 2.4 m
+    apc = rings(0, 40000)
+    recon = rings(1, 20000)
+    recon += rng.normal(0, 0.5, recon.shape).astype(np.float32)
+
+    _, frac = chamfer_distance_window_stats(
+        jnp.asarray(recon), jnp.asarray(apc),
+        cell_size=1.2, tile=512, window=4096)
+    assert float(frac) < 0.05, float(frac)

@@ -193,7 +193,13 @@ def test_deformable_zero_offsets_match_rigid(rng):
     from apr_tpu.models.kpconv import KPConvLayer
 
     layer, params, args = _deform_setup(rng)
-    params = jax.tree.map(jnp.zeros_like, params)
+    # zero everything EXCEPT the (frozen, non-trainable) kernel dispositions
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, a: a if any(
+            getattr(k, "key", None) == "kernel_points" for k in path
+        ) else jnp.zeros_like(a),
+        params,
+    )
     params = dict(params)
     main_w = jnp.asarray(np.random.default_rng(7).normal(
         size=params["weights"].shape).astype(np.float32))
@@ -202,7 +208,9 @@ def test_deformable_zero_offsets_match_rigid(rng):
     out_def = layer.apply({"params": params}, *args)
 
     rigid = KPConvLayer(16, kp_extent=1.0, radius=2.0, num_kernel_points=7)
-    out_rig = rigid.apply({"params": {"weights": main_w}}, *args)
+    rigid_params = dict(rigid.init(jax.random.PRNGKey(1), *args)["params"])
+    rigid_params["weights"] = main_w
+    out_rig = rigid.apply({"params": rigid_params}, *args)
     np.testing.assert_allclose(np.asarray(out_def), np.asarray(out_rig),
                                rtol=1e-5, atol=1e-6)
 

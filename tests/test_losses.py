@@ -114,7 +114,7 @@ def test_npr_reconstruction_perfect_offsets(rng):
     offsets = rng.uniform(0, 0.3, size=(n, ratio, 3)).astype(np.float32)
     apc = (anchors[:, None, :] + offsets).reshape(-1, 3)
     mlp_out = offsets.reshape(n, ratio * 3)  # voxel_size=1
-    total, cd, reg = npr_reconstruction(
+    total, cd, reg, _ = npr_reconstruction(
         jnp.asarray(mlp_out),
         jnp.asarray(anchors),
         jnp.asarray(apc),
@@ -131,7 +131,7 @@ def test_npr_reconstruction_scales_with_voxel(rng):
     anchors = (rng.integers(-10, 10, size=(n, 3))).astype(np.float32)
     mlp_out = jnp.asarray(rng.uniform(0, 1, size=(n, ratio * 3)).astype(np.float32))
     apc = jnp.asarray(rng.uniform(-3, 3, size=(128, 3)).astype(np.float32))
-    t1, cd1, reg1 = npr_reconstruction(
+    t1, cd1, reg1, _ = npr_reconstruction(
         mlp_out, jnp.asarray(anchors * 0.3), apc, jnp.ones((n,), bool),
         voxel_size=0.3,
     )

@@ -111,3 +111,80 @@ def test_grid_subsample_features(rng):
         np.testing.assert_allclose(
             f, feats[ref[tuple(c)]].mean(axis=0), atol=1e-5
         )
+
+
+def test_voxelize_pyramid_matches_per_level_voxelize(rng):
+    """voxelize_pyramid (one Morton argsort + boundary scans) must match the
+    per-level voxelize outputs up to voxel ORDERING (morton vs x-major)."""
+    from apr_tpu.ops.hashing import pack_coords
+    from apr_tpu.ops.voxelize import voxelize, voxelize_pyramid
+
+    # capacities exceed the voxel counts: overflow drop-order legitimately
+    # differs between the two implementations (morton- vs pack-largest)
+    n, caps = 700, (1024, 512, 256, 128)
+    pts = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    mask = rng.uniform(size=n) < 0.9
+    base = 0.8
+
+    grids = voxelize_pyramid(jnp.asarray(pts), base, caps, jnp.asarray(mask))
+    for l, cap in enumerate(caps):
+        ref = voxelize(jnp.asarray(pts), base * 2 ** l, cap, jnp.asarray(mask))
+        got = grids[l]
+        nv = int(np.asarray(ref.mask).sum())
+        assert int(np.asarray(got.mask).sum()) == nv
+        # align the two orderings via the x-major packed key of each voxel
+        gk = np.asarray(pack_coords(got.coords))[:nv]
+        rk = np.asarray(ref.keys)[:nv]
+        gperm, rperm = np.argsort(gk), np.argsort(rk)
+        np.testing.assert_array_equal(gk[gperm], rk[rperm])
+        np.testing.assert_array_equal(
+            np.asarray(got.coords)[:nv][gperm], np.asarray(ref.coords)[:nv][rperm])
+        np.testing.assert_array_equal(
+            np.asarray(got.counts)[:nv][gperm], np.asarray(ref.counts)[:nv][rperm])
+        np.testing.assert_array_equal(
+            np.asarray(got.rep)[:nv][gperm], np.asarray(ref.rep)[:nv][rperm])
+        np.testing.assert_allclose(
+            np.asarray(got.barycenter)[:nv][gperm],
+            np.asarray(ref.barycenter)[:nv][rperm], rtol=1e-6, atol=1e-6)
+        # point_voxel agrees through the alignment (sentinel stays sentinel)
+        gmap = np.full(cap + 1, cap)
+        gmap[gperm] = np.arange(nv)
+        rmap = np.full(cap + 1, cap)
+        rmap[rperm] = np.arange(nv)
+        np.testing.assert_array_equal(
+            gmap[np.asarray(got.point_voxel)], rmap[np.asarray(ref.point_voxel)])
+
+
+def test_unique_of_sorted_matches_jnp_unique(rng):
+    from apr_tpu.ops.hashing import INVALID_KEY
+    from apr_tpu.ops.voxelize import unique_of_sorted
+
+    for cap, n_val in [(16, 40), (64, 40), (8, 0)]:
+        keys = np.sort(rng.integers(0, 30, n_val).astype(np.int32))
+        keys = np.concatenate([keys, np.full(13, INVALID_KEY, np.int32)])
+        uniq, seg = unique_of_sorted(jnp.asarray(keys), cap)
+        want = np.asarray(jnp.unique(jnp.asarray(keys), size=cap,
+                                     fill_value=INVALID_KEY))
+        np.testing.assert_array_equal(np.asarray(uniq), want)
+        # seg maps each valid row to its key's slot (or the overflow sentinel)
+        seg = np.asarray(seg)
+        for i, k in enumerate(keys):
+            if k == INVALID_KEY:
+                assert seg[i] == cap
+            elif seg[i] < cap:
+                assert want[seg[i]] == k
+
+
+def test_morton_pack_roundtrip_and_shift_identity(rng):
+    from apr_tpu.ops.hashing import morton_pack, morton_unpack
+
+    c = rng.integers(-512, 512, (2000, 3)).astype(np.int32)
+    k = morton_pack(jnp.asarray(c))
+    k_np = np.asarray(k)
+    assert (k_np >= 0).all() and (k_np < 2 ** 30).all()
+    np.testing.assert_array_equal(np.asarray(morton_unpack(k)), c)
+    # collision-free: distinct coords -> distinct keys
+    assert len(np.unique(k_np)) == len(np.unique(c, axis=0))
+    # the pyramid identity: morton(c) >> 3 == morton(c >> 1), decoded at l=1
+    np.testing.assert_array_equal(
+        np.asarray(morton_unpack(k >> 3, level=1)), c >> 1)

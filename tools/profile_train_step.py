@@ -12,7 +12,7 @@ dependency threaded through the carry (no stage can be hoisted or
 overlapped with host latency), reads back one scalar, and divides by K —
 the same protocol as bench.py.
 
-    python tools/profile_train_step.py [--chamfer exact|pallas|grid] [--k 8]
+    python tools/profile_train_step.py [--chamfer exact|pallas|window] [--k 8]
 """
 
 import argparse
@@ -195,8 +195,7 @@ def main():
                     m, a, ab, k, am, voxel_size=cfg.voxel_size,
                     chamfer_mode=cfg.chamfer_mode,
                     chamfer_cell_size=(cfg.chamfer_cell_multiplier
-                                       * cfg.voxel_size),
-                    chamfer_bucket_cap=cfg.chamfer_bucket_cap)[0]
+                                       * cfg.voxel_size))[0]
             f = jax.vmap(jax.vmap(one))
             return jnp.sum(f(mo, anc, msk, apc, apm))
 
