@@ -120,7 +120,14 @@ class NuscenesComplementDataset(KittiComplementDataset):
         log.info("nuScenes %s: %d pairs", self.phase, len(self.files))
 
     def _load_lonuscenes(self):
-        path = os.path.join(self.config.kitti_root, "file_LoNUSCENES_50.npy")
+        # vendored benchmark artifact (reference FCGF_APR/config/
+        # file_LoNUSCENES_50.npy, (994, 3) object [log, t0, t1]); dataset
+        # root checked as a fallback for user-supplied pair lists
+        path = os.path.join(os.path.dirname(__file__), "splits",
+                            "file_LoNUSCENES_50.npy")
+        if not os.path.exists(path):
+            path = os.path.join(self.config.kitti_root,
+                                "file_LoNUSCENES_50.npy")
         pairs = np.load(path, allow_pickle=True)
         self.files = [(str(d), int(t0), int(t1)) for d, t0, t1 in pairs]
         log.info("LoNuScenes: %d fixed pairs", len(self.files))

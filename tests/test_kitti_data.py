@@ -251,3 +251,25 @@ def test_mutate_neighbour_fault_injection(fake_kitti):
     b = ds_clean.get_pair(0)["apc0"]
     # corrupted rotations must change the aggregated cloud
     assert a.shape != b.shape or not np.allclose(a, b)
+
+
+def test_vendored_benchmark_pair_files():
+    """The LoKITTI / LoNuScenes fixed benchmark sets ship in-repo
+    (reference: FCGF_APR/config/file_Lo*.npy, loaded at
+    complement_data_loader.py:199-201 / :890-891) so `--LoKITTI true`
+    needs no extra files at the dataset root."""
+    import os
+
+    import apr_tpu.data as data_pkg
+
+    splits = os.path.join(os.path.dirname(data_pkg.__file__), "splits")
+    lk = np.load(os.path.join(splits, "file_LoKITTI_50.npy"))
+    assert lk.shape == (545, 3) and lk.dtype == np.int64
+    # pairs come from the TEST drives 8-10 and are forward-ordered
+    assert set(np.unique(lk[:, 0])) <= {8, 9, 10}
+    assert (lk[:, 2] > lk[:, 1]).all()
+
+    ln = np.load(os.path.join(splits, "file_LoNUSCENES_50.npy"),
+                 allow_pickle=True)
+    assert ln.shape == (994, 3)
+    assert all(isinstance(r[0], str) and int(r[2]) > int(r[1]) for r in ln)
