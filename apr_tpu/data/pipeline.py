@@ -130,9 +130,15 @@ class PairLoader:
     def __iter__(self) -> Iterator[PairBatch]:
         order = self._index_order()
 
-        def read_batch(b):
+        def build_batch(b):
+            # collate IN the producer thread: jax dispatch is async and
+            # thread-safe, so batch i+1's H2D transfers and device-side
+            # build program (voxelize/pyramids/correspondences in
+            # make_pair_batch) are enqueued while batch i's train step is
+            # still running — the consumer receives device-ready batches
+            # with no dispatch gap between step i and build i+1
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-            return [self.dataset.get_pair(int(i)) for i in idxs]
+            pairs = [self.dataset.get_pair(int(i)) for i in idxs]
+            return collate_pairs(pairs, self.config)
 
-        for pairs in prefetched(range(len(self)), read_batch, self.prefetch):
-            yield collate_pairs(pairs, self.config)
+        yield from prefetched(range(len(self)), build_batch, self.prefetch)

@@ -174,6 +174,10 @@ def main():
                 "value": round(value, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(value / TARGET_PAIRS_PER_SEC, 4),
+                # tracked so compile-time regressions are visible round to
+                # round (r2 cold compile hit 505 s); warm reruns hit the
+                # repo-local persistent cache and report seconds, not minutes
+                "compile_s": round(compile_s, 1),
             }
         )
     )
@@ -314,6 +318,7 @@ def _bench_predator(jax, jnp):
         "value": round(value, 4),
         "unit": "pairs/s",
         "vs_baseline": round(value / TARGET_PAIRS_PER_SEC, 4),
+        "compile_s": round(compile_s, 1),
     }))
     print(f"# detail: {iters} predator-eval iterations in one dispatch, "
           f"{dt:.3f}s ({dt / iters * 1e3:.1f} ms/pair); compile "

@@ -188,11 +188,26 @@ def _deform_setup(rng, modulated=False):
 
 
 def test_deformable_zero_offsets_match_rigid(rng):
-    """With the offset conv zeroed, deformable == rigid KPConv exactly."""
+    """With the offset conv zeroed, deformable == rigid KPConv exactly.
+
+    Geometry is confined to a ball where every neighbor sits within
+    kp_extent of the CENTER kernel point: the reference's deformable path
+    prunes neighbors out of range of every (deformed) kernel point and
+    normalizes by the pruned count (blocks.py:293-315, 371-375 — replicated
+    here, and pinned against the executed reference in
+    test_reference_parity.py), so exact rigid equality only holds when that
+    pruning keeps every neighbor.
+    """
     import jax
     from apr_tpu.models.kpconv import KPConvLayer
 
     layer, params, args = _deform_setup(rng)
+    q, s, nb, x = args
+    # shrink clouds into a 0.28-side box: max pairwise distance ~0.97 <
+    # kp_extent 1.0, so no neighbor is pruned in the deformable path
+    q = q * (0.28 / 3.0)
+    s = s * (0.28 / 3.0)
+    args = (q, s, nb, x)
     # zero everything EXCEPT the (frozen, non-trainable) kernel dispositions
     params = jax.tree_util.tree_map_with_path(
         lambda path, a: a if any(
