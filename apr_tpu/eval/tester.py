@@ -134,10 +134,8 @@ class FeatureTester:
 
         @jax.jit
         def step(params, batch_stats, batch, key):
-            f0, _ = self.trainer._encode(params, batch_stats, batch.feats0,
-                                         batch.pyramid0, False)
-            f1, _ = self.trainer._encode(params, batch_stats, batch.feats1,
-                                         batch.pyramid1, False)
+            f0, f1, _ = self.trainer._encode_pair(params, batch_stats,
+                                                  batch, False)
             m0 = batch.pyramid0.levels[0].mask[0]
             m1 = batch.pyramid1.levels[0].mask[0]
             return eval_one(params, batch_stats, f0[0], f1[0],
@@ -163,10 +161,8 @@ class FeatureTester:
 
         @jax.jit
         def sharded_step(params, bstats, batch, keys):
-            f0, _ = self.trainer._encode(params, bstats, batch.feats0,
-                                         batch.pyramid0, False)
-            f1, _ = self.trainer._encode(params, bstats, batch.feats1,
-                                         batch.pyramid1, False)
+            f0, f1, _ = self.trainer._encode_pair(params, bstats, batch,
+                                                  False)
             return jax.vmap(
                 self._eval_one, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)
             )(params, bstats, f0, f1, batch.xyz0, batch.xyz1,

@@ -72,36 +72,43 @@ def make_pair_batch(
     search — the tester derives matches from features, not GT.
     """
 
-    def one(pts0, m0, pts1, m1, t):
-        g0 = voxelize(pts0, voxel_size, capacities[0], m0)
-        g1 = voxelize(pts1, voxel_size, capacities[0], m1)
-        pyr0 = build_pyramid(g0, capacities, conv1_kernel_size)
-        pyr1 = build_pyramid(g1, capacities, conv1_kernel_size)
+    # Both cloud sides ride ONE vmapped build over the stacked [2B] batch:
+    # the pyramid ops (sorts, kernel-map lookups) are op-overhead bound on
+    # TPU, so one 2B-wide program costs far less than two B-wide copies and
+    # halves the HLO the compiler has to chew through (docs/PERF.md).
+    def one_cloud(pts, m):
+        g = voxelize(pts, voxel_size, capacities[0], m)
+        pyr = build_pyramid(g, capacities, conv1_kernel_size)
         # representative point per voxel (ME sparse_quantize 'sel' parity)
-        n = pts0.shape[0]
-        xyz0 = jnp.where(
-            (g0.rep < n)[:, None], pts0[jnp.minimum(g0.rep, n - 1)], 0.0
+        n = pts.shape[0]
+        xyz = jnp.where(
+            (g.rep < n)[:, None], pts[jnp.minimum(g.rep, n - 1)], 0.0
         )
-        xyz1 = jnp.where(
-            (g1.rep < n)[:, None], pts1[jnp.minimum(g1.rep, n - 1)], 0.0
-        )
-        if with_correspondences:
-            corr = gt_correspondences(
-                xyz0, xyz1, t,
+        return pyr, xyz, g.mask
+
+    b = points0.shape[0]
+    pyr, xyz, gmask = jax.vmap(one_cloud)(
+        jnp.concatenate([points0, points1], 0),
+        jnp.concatenate([mask0, mask1], 0),
+    )
+    pyr0 = jax.tree.map(lambda x: x[:b], pyr)
+    pyr1 = jax.tree.map(lambda x: x[b:], pyr)
+    xyz0, xyz1 = xyz[:b], xyz[b:]
+
+    if with_correspondences:
+        corr = jax.vmap(
+            lambda x0, x1, t, m0, m1: gt_correspondences(
+                x0, x1, t,
                 radius=voxel_size * search_multiplier,
                 cap_per_point=corr_cap,
-                mask0=g0.mask, mask1=g1.mask,
+                mask0=m0, mask1=m1,
             )
-        else:
-            from apr_tpu.registration.matching import Correspondences
+        )(xyz0, xyz1, t_gt, gmask[:b], gmask[b:])
+    else:
+        from apr_tpu.registration.matching import Correspondences
 
-            z = jnp.zeros((1,), jnp.int32)
-            corr = Correspondences(z, z, jnp.zeros((1,), bool))
-        return pyr0, pyr1, xyz0, xyz1, corr
-
-    pyr0, pyr1, xyz0, xyz1, corr = jax.vmap(one)(
-        points0, mask0, points1, mask1, t_gt
-    )
+        z = jnp.zeros((b, 1), jnp.int32)
+        corr = Correspondences(z, z, jnp.zeros((b, 1), bool))
 
     # voxel-dedup the APC targets (reference sel_nghb quantization,
     # complement_data_loader.py:669-674)
@@ -114,10 +121,15 @@ def make_pair_batch(
         return pts, g.mask
 
     if apc0.shape[1] > 8:  # skip for the dummy test-time placeholders
-        apc0, apc0_mask = jax.vmap(dedup)(apc0, apc0_mask)
-        apc1, apc1_mask = jax.vmap(dedup)(apc1, apc1_mask)
+        # same 2B fold as the pyramids: one dedup program for both sides
+        apc, apc_mask = jax.vmap(dedup)(
+            jnp.concatenate([apc0, apc1], 0),
+            jnp.concatenate([apc0_mask, apc1_mask], 0),
+        )
+        apc0, apc1 = apc[:b], apc[b:]
+        apc0_mask, apc1_mask = apc_mask[:b], apc_mask[b:]
 
-    b, c0 = xyz0.shape[0], xyz0.shape[1]
+    c0 = xyz0.shape[1]
     feats0 = jnp.where(
         pyr0.levels[0].mask[..., None], jnp.ones((b, c0, 1), jnp.float32), 0.0
     )

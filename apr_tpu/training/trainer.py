@@ -214,6 +214,37 @@ class FCGFTrainer:
         return self.encoder.apply(variables, feats, pyramid, train=False), \
             batch_stats["encoder"]
 
+    def _encode_pair(self, params, batch_stats, batch, train):
+        """Encode both clouds of a PairBatch; returns (f0, f1, encoder stats).
+
+        Eval folds the two forwards into ONE 2B-batch program: with
+        use_running_average BN there is no cross-element coupling, so the
+        fold is numerically exact while halving the op-overhead-bound
+        gather/matmul dispatches (docs/PERF.md).  Train keeps the
+        reference's two sequential forwards so BatchNorm batch statistics
+        and the two running-average momentum updates stay bit-faithful to
+        model(sinput0); model(sinput1) (FCGF_APR/lib/complement_trainer.py).
+        """
+        if not train:
+            # interleave (not concat) so pair i's two sides are adjacent:
+            # under a batch-sharded mesh each device keeps BOTH sides of
+            # its own pairs — the fold adds no cross-device movement
+            b = batch.feats0.shape[0]
+
+            def weave(a, c):
+                return jnp.stack([a, c], 1).reshape((2 * b,) + a.shape[1:])
+
+            feats = weave(batch.feats0, batch.feats1)
+            pyr = jax.tree.map(weave, batch.pyramid0, batch.pyramid1)
+            f, stats = self._encode(params, batch_stats, feats, pyr, False)
+            f = f.reshape((b, 2) + f.shape[1:])
+            return f[:, 0], f[:, 1], stats
+        f0, stats1 = self._encode(params, batch_stats, batch.feats0,
+                                  batch.pyramid0, True)
+        f1, stats2 = self._encode(params, dict(batch_stats, encoder=stats1),
+                                  batch.feats1, batch.pyramid1, True)
+        return f0, f1, stats2
+
     def _contrastive(self, key, f0_flat, f1_flat, src, tgt, pmask, m0, m1):
         c = self.config
         num_pos = c.num_pos_per_batch * c.batch_size
@@ -285,12 +316,9 @@ class FCGFTrainer:
                 train: bool = True, return_feats: bool = False):
         c = self.config
         k_mine, _ = jax.random.split(key)
-        f0, stats1 = self._encode(params, batch_stats, batch.feats0,
-                                  batch.pyramid0, train)
-        bs_mid = dict(batch_stats, encoder=stats1)
-        f1, stats2 = self._encode(params, bs_mid, batch.feats1,
-                                  batch.pyramid1, train)
-        new_stats = dict(batch_stats, encoder=stats2)
+        f0, f1, enc_stats = self._encode_pair(params, batch_stats, batch,
+                                              train)
+        new_stats = dict(batch_stats, encoder=enc_stats)
 
         b, n, ch = f0.shape
         f0_flat = f0.reshape(b * n, ch)

@@ -116,10 +116,8 @@ def main():
             search_multiplier=c.positive_pair_search_voxel_size_multiplier,
             with_correspondences=False,
         )
-        f0, _ = trainer._encode(state.params, state.batch_stats,
-                                batch.feats0, batch.pyramid0, False)
-        f1, _ = trainer._encode(state.params, state.batch_stats,
-                                batch.feats1, batch.pyramid1, False)
+        f0, f1, _ = trainer._encode_pair(state.params, state.batch_stats,
+                                         batch, False)
         keys = jax.random.split(k_e, GROUP)
         return jax.vmap(
             tester._eval_one, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0)
@@ -216,10 +214,8 @@ def main():
 
         def prep_encode(k, raw):
             b = _make_batch(k, raw)
-            f0, _ = trainer._encode(state.params, state.batch_stats,
-                                    b.feats0, b.pyramid0, False)
-            f1, _ = trainer._encode(state.params, state.batch_stats,
-                                    b.feats1, b.pyramid1, False)
+            f0, f1, _ = trainer._encode_pair(state.params, state.batch_stats,
+                                             b, False)
             return jnp.mean(f0) + jnp.mean(f1)
 
         def _make_batch(key, raw):

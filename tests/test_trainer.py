@@ -150,3 +150,17 @@ def test_best_checkpoint_survives_gc(tmp_path, trainer_and_batch):
     assert meta["best_val"] == 0.9
     # rolling saves were GC'd down to 3
     assert mngr.latest_epoch() == 7
+
+
+def test_encode_pair_fold_matches_separate(trainer_and_batch):
+    """The eval-mode 2B fold must be bit-identical to two separate encodes
+    (running-stats BN has no cross-element coupling)."""
+    trainer, batch, state = trainer_and_batch
+    f0s, _ = trainer._encode(state.params, state.batch_stats, batch.feats0,
+                             batch.pyramid0, False)
+    f1s, _ = trainer._encode(state.params, state.batch_stats, batch.feats1,
+                             batch.pyramid1, False)
+    f0, f1, _ = trainer._encode_pair(state.params, state.batch_stats,
+                                     batch, False)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f0s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f1s), atol=1e-6)
