@@ -42,6 +42,12 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.1
     epsilon: float = 1e-5
     use_running_average: Optional[bool] = None
+    # stats_groups=G treats the leading batch axis as G interleaved stat
+    # groups (row i belongs to group i % G): batch moments, normalization,
+    # and the running-average momentum updates are computed per group, in
+    # group order — bit-faithful to G sequential forwards of the ungrouped
+    # norm while running as ONE fused program (the pair-fold fast path).
+    stats_groups: int = 1
 
     @nn.compact
     def __call__(self, x, mask, use_running_average: Optional[bool] = None):
@@ -60,8 +66,27 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
+        g = self.stats_groups
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
+        elif g > 1:
+            bw = x.shape[0] // g
+            xg = x.reshape((bw, g) + x.shape[1:])
+            mg = mask.reshape((bw, g) + mask.shape[1:])
+            axes = (0,) + tuple(range(2, xg.ndim - 1))
+            mean_g, var_g = masked_moments(xg, mg, axes)  # [g, C]
+            if not self.is_initializing():
+                m = self.momentum
+                rm, rv = ra_mean.value, ra_var.value
+                for i in range(g):  # sequential-forward momentum parity
+                    rm = (1.0 - m) * rm + m * mean_g[i]
+                    rv = (1.0 - m) * rv + m * var_g[i]
+                ra_mean.value, ra_var.value = rm, rv
+            shape = (1, g) + (1,) * (x.ndim - 2) + (c,)
+            y = (xg - mean_g.reshape(shape)) * jnp.reciprocal(
+                jnp.sqrt(var_g.reshape(shape) + self.epsilon))
+            y = (y * scale + bias).reshape(x.shape)
+            return jnp.where(mask[..., None], y, 0.0)
         else:
             mean, var = masked_moments(x, mask, reduce_axes)
             if not self.is_initializing():

@@ -91,10 +91,11 @@ class SparseConv(nn.Module):
         return out
 
 
-def _norm(norm_type: str, momentum: float):
+def _norm(norm_type: str, momentum: float, stats_groups: int = 1):
     if norm_type == "BN":
-        return MaskedBatchNorm(momentum=momentum)
+        return MaskedBatchNorm(momentum=momentum, stats_groups=stats_groups)
     if norm_type == "IN":
+        # InstanceNorm stats are per-cloud already — grouping is a no-op
         return MaskedInstanceNorm()
     raise ValueError(norm_type)
 
@@ -106,6 +107,7 @@ class BasicBlock(nn.Module):
     norm_type: str = "BN"
     bn_momentum: float = 0.1
     compute_dtype: Optional[str] = None
+    stats_groups: int = 1
 
     @nn.compact
     def __call__(self, feats, table, mask, train: bool):
@@ -113,7 +115,7 @@ class BasicBlock(nn.Module):
         out = SparseConv(self.channels, table.shape[-1], use_bias=True,
                          compute_dtype=self.compute_dtype,
                          name="conv1")(feats, table, mask)
-        out = _norm(self.norm_type, self.bn_momentum)(
+        out = _norm(self.norm_type, self.bn_momentum, self.stats_groups)(
             out, mask, use_running_average=not train
         )
         out = nn.relu(out)
@@ -121,7 +123,7 @@ class BasicBlock(nn.Module):
                          compute_dtype=self.compute_dtype, name="conv2")(
             out, table, mask
         )
-        out = _norm(self.norm_type, self.bn_momentum)(
+        out = _norm(self.norm_type, self.bn_momentum, self.stats_groups)(
             out, mask, use_running_average=not train
         )
         out = nn.relu(out + residual)
@@ -145,6 +147,9 @@ class ResUNet2(nn.Module):
     normalize_feature: bool = False
     conv1_kernel_size: int = 5
     compute_dtype: Optional[str] = None  # "bfloat16": bf16 convs, f32 accum
+    # >1: leading batch axis carries interleaved stat groups (pair fold) —
+    # BN statistics stay bit-faithful to sequential per-group forwards
+    stats_groups: int = 1
 
     @nn.compact
     def __call__(self, feats, pyramid: SparsePyramid, train: bool = False):
@@ -154,7 +159,7 @@ class ResUNet2(nn.Module):
         k1 = self.conv1_kernel_size ** 3
 
         def norm():
-            return _norm(self.norm_type, self.bn_momentum)
+            return _norm(self.norm_type, self.bn_momentum, self.stats_groups)
 
         # --- encoder ---
         cd = self.compute_dtype
@@ -163,7 +168,8 @@ class ResUNet2(nn.Module):
         )
         out_s1 = norm()(out_s1, masks[0], use_running_average=not train)
         out_s1 = BasicBlock(ch[0], self.block_norm_type, self.bn_momentum,
-                            compute_dtype=cd, name="block1")(out_s1, pyramid.same_maps[0], masks[0], train)
+                            compute_dtype=cd, stats_groups=self.stats_groups,
+                            name="block1")(out_s1, pyramid.same_maps[0], masks[0], train)
         out = nn.relu(out_s1)
 
         skips = [out_s1]
@@ -177,7 +183,8 @@ class ResUNet2(nn.Module):
             )
             x = norm()(x, masks[lvl], use_running_average=not train)
             x = BasicBlock(ch[lvl], self.block_norm_type, self.bn_momentum,
-                           compute_dtype=cd, name=f"block{lvl + 1}")(x, pyramid.same_maps[lvl], masks[lvl], train)
+                           compute_dtype=cd, stats_groups=self.stats_groups,
+                           name=f"block{lvl + 1}")(x, pyramid.same_maps[lvl], masks[lvl], train)
             skips.append(x)
             outs.append(nn.relu(x))
 
@@ -192,7 +199,8 @@ class ResUNet2(nn.Module):
             )
             x = norm()(x, masks[lvl - 1], use_running_average=not train)
             x = BasicBlock(tr[lvl], self.block_norm_type, self.bn_momentum,
-                           compute_dtype=cd, name=f"block{lvl + 1}_tr")(x, pyramid.same_maps[lvl - 1],
+                           compute_dtype=cd, stats_groups=self.stats_groups,
+                           name=f"block{lvl + 1}_tr")(x, pyramid.same_maps[lvl - 1],
                                                       masks[lvl - 1], train)
             x = nn.relu(x)
             # skip concat (ME.cat) with the encoder output of this level

@@ -93,8 +93,7 @@ class FCGFTrainer:
         self.config = config
         cd = (None if config.compute_dtype in (None, "float32")
               else config.compute_dtype)
-        self.encoder = make_resunet(
-            config.model,
+        enc_kwargs = dict(
             in_channels=1,
             out_channels=config.model_n_out,
             normalize_feature=config.normalize_feature,
@@ -102,6 +101,11 @@ class FCGFTrainer:
             bn_momentum=config.bn_momentum,
             compute_dtype=cd,
         )
+        self.encoder = make_resunet(config.model, **enc_kwargs)
+        # identical module (same param/stat tree), but BN treats the leading
+        # axis as 2 interleaved stat groups — the train-mode pair fold
+        self.encoder_folded = make_resunet(config.model, stats_groups=2,
+                                           **enc_kwargs)
         self.generative = config.trainer == "GenerativePairTrainer"
         self.symmetric = bool(config.symmetric) and self.generative
         if self.symmetric:
@@ -203,47 +207,55 @@ class FCGFTrainer:
 
     # --- forward helpers ------------------------------------------------
 
-    def _encode(self, params, batch_stats, feats, pyramid, train):
+    def _encode(self, params, batch_stats, feats, pyramid, train,
+                module=None):
+        module = module or self.encoder
         variables = {"params": params["encoder"],
                      "batch_stats": batch_stats["encoder"]}
         if train:
-            out, upd = self.encoder.apply(
+            out, upd = module.apply(
                 variables, feats, pyramid, train=True, mutable=["batch_stats"]
             )
             return out, upd["batch_stats"]
-        return self.encoder.apply(variables, feats, pyramid, train=False), \
+        return module.apply(variables, feats, pyramid, train=False), \
             batch_stats["encoder"]
 
-    def _encode_pair(self, params, batch_stats, batch, train):
+    def _encode_pair(self, params, batch_stats, batch, train, fold=True):
         """Encode both clouds of a PairBatch; returns (f0, f1, encoder stats).
 
-        Eval folds the two forwards into ONE 2B-batch program: with
-        use_running_average BN there is no cross-element coupling, so the
-        fold is numerically exact while halving the op-overhead-bound
-        gather/matmul dispatches (docs/PERF.md).  Train keeps the
-        reference's two sequential forwards so BatchNorm batch statistics
-        and the two running-average momentum updates stay bit-faithful to
-        model(sinput0); model(sinput1) (FCGF_APR/lib/complement_trainer.py).
+        Both modes fold the two forwards into ONE 2B-batch program — the
+        encoder is op-overhead bound, so one twice-wide program halves its
+        dispatch cost (docs/PERF.md).  Eval is trivially exact
+        (running-stats BN has no cross-element coupling); train stays
+        bit-faithful to the reference's sequential
+        model(sinput0); model(sinput1) (FCGF_APR/lib/complement_trainer.py)
+        via stats_groups=2 BatchNorm: per-side batch moments and in-order
+        momentum updates.  ``fold=False`` keeps the literal two-forward
+        path (used by the parity test).
         """
-        if not train:
-            # interleave (not concat) so pair i's two sides are adjacent:
-            # under a batch-sharded mesh each device keeps BOTH sides of
-            # its own pairs — the fold adds no cross-device movement
-            b = batch.feats0.shape[0]
+        if not fold:
+            f0, stats1 = self._encode(params, batch_stats, batch.feats0,
+                                      batch.pyramid0, train)
+            f1, stats2 = self._encode(
+                params, dict(batch_stats, encoder=stats1), batch.feats1,
+                batch.pyramid1, train)
+            return f0, f1, stats2
+        # interleave (not concat) so pair i's two sides are adjacent: under
+        # a batch-sharded mesh each device keeps BOTH sides of its own
+        # pairs — the fold adds no cross-device movement.  Interleaving is
+        # also what makes BN's reshape-(bw, 2) grouping see side0/side1 as
+        # groups 0/1.
+        b = batch.feats0.shape[0]
 
-            def weave(a, c):
-                return jnp.stack([a, c], 1).reshape((2 * b,) + a.shape[1:])
+        def weave(a, c):
+            return jnp.stack([a, c], 1).reshape((2 * b,) + a.shape[1:])
 
-            feats = weave(batch.feats0, batch.feats1)
-            pyr = jax.tree.map(weave, batch.pyramid0, batch.pyramid1)
-            f, stats = self._encode(params, batch_stats, feats, pyr, False)
-            f = f.reshape((b, 2) + f.shape[1:])
-            return f[:, 0], f[:, 1], stats
-        f0, stats1 = self._encode(params, batch_stats, batch.feats0,
-                                  batch.pyramid0, True)
-        f1, stats2 = self._encode(params, dict(batch_stats, encoder=stats1),
-                                  batch.feats1, batch.pyramid1, True)
-        return f0, f1, stats2
+        feats = weave(batch.feats0, batch.feats1)
+        pyr = jax.tree.map(weave, batch.pyramid0, batch.pyramid1)
+        f, stats = self._encode(params, batch_stats, feats, pyr, train,
+                                module=self.encoder_folded if train else None)
+        f = f.reshape((b, 2) + f.shape[1:])
+        return f[:, 0], f[:, 1], stats
 
     def _contrastive(self, key, f0_flat, f1_flat, src, tgt, pmask, m0, m1):
         c = self.config

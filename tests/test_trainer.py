@@ -164,3 +164,23 @@ def test_encode_pair_fold_matches_separate(trainer_and_batch):
                                      batch, False)
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f0s), atol=1e-6)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f1s), atol=1e-6)
+
+
+def test_encode_pair_train_fold_matches_sequential(trainer_and_batch):
+    """Train-mode fold (stats_groups=2 BN) must reproduce the reference's
+    two sequential forwards: same features AND same updated batch stats
+    (per-side moments, in-order momentum updates)."""
+    trainer, batch, state = trainer_and_batch
+    f0s, f1s, stats_seq = trainer._encode_pair(
+        state.params, state.batch_stats, batch, True, fold=False)
+    f0, f1, stats_fold = trainer._encode_pair(
+        state.params, state.batch_stats, batch, True, fold=True)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f0s),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f1s),
+                               atol=2e-5, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+        stats_fold, stats_seq,
+    )
