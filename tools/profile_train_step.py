@@ -169,6 +169,15 @@ def main():
 
     if only is None or "fwd" in only:
         def fwd_body(c, k):
+            b = batch._replace(feats0=batch.feats0 + c * 1e-9,
+                               feats1=batch.feats1 + c * 1e-9)
+            f, f2, _ = trainer._encode_pair(
+                state.params, state.batch_stats, b, False)
+            return jnp.mean(f) + jnp.mean(f2)
+        scan_time(fwd_body, jnp.zeros(()), "encoder fwd (pair-folded)")
+
+    if only is None or "fwd2x" in only:
+        def fwd2_body(c, k):
             f = trainer._encode(
                 state.params, state.batch_stats,
                 batch.feats0 + c * 1e-9, batch.pyramid0, False)[0]
@@ -176,7 +185,7 @@ def main():
                 state.params, state.batch_stats,
                 batch.feats1 + c * 1e-9, batch.pyramid1, False)[0]
             return jnp.mean(f) + jnp.mean(f2)
-        scan_time(fwd_body, jnp.zeros(()), "encoder fwd x2")
+        scan_time(fwd2_body, jnp.zeros(()), "encoder fwd x2 (unfolded)")
 
     if only is None or "chamfer" in only:
         from apr_tpu.losses.generative import npr_reconstruction
