@@ -231,6 +231,50 @@ def test_gcn_parity(ref, rng):
     np.testing.assert_allclose(_np(o1_j), t1[0].numpy().T, rtol=1e-4, atol=1e-4)
 
 
+def test_gcn_cat_parity(ref, rng):
+    """cross_cat (AttentionalPropagationCat, gcn.py:131-168): coordinate-
+    augmented cross attention, executed-reference parity.
+
+    The reference hard-codes 4 heads in its channel math (``7*4``), so the
+    test runs at num_heads=4.
+    """
+    from apr_tpu.models.gcn import GCN
+
+    from tools.import_torch_checkpoint import import_gcn
+
+    C, n0, n1, k, heads = 32, 40, 36, 6, 4
+    nets = ["self", "cross_cat", "self"]
+    c0 = rng.uniform(-2, 2, (n0, 3)).astype(np.float32)
+    c1 = rng.uniform(-2, 2, (n1, 3)).astype(np.float32)
+    f0 = rng.normal(size=(n0, C)).astype(np.float32)
+    f1 = rng.normal(size=(n1, C)).astype(np.float32)
+
+    torch.manual_seed(0)
+    g_t = ref.gcn.GCN(heads, C, k, nets)
+    g_t.eval()
+
+    m = GCN(C, tuple(nets), k, heads)
+    mask0 = jnp.ones((n0,), bool)
+    mask1 = jnp.ones((n1,), bool)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(c0), jnp.asarray(c1),
+                    jnp.asarray(f0), jnp.asarray(f1), mask0, mask1)["params"]
+    import copy
+
+    params = copy.deepcopy(jax.device_get(params))
+    sd = {k_: v.detach().numpy() for k_, v in g_t.state_dict().items()}
+    import_gcn(sd, params, nets=tuple(nets), prefix="")
+
+    o0_j, o1_j = m.apply({"params": params}, jnp.asarray(c0), jnp.asarray(c1),
+                         jnp.asarray(f0), jnp.asarray(f1), mask0, mask1)
+    with torch.no_grad():
+        t0, t1 = g_t(
+            torch.from_numpy(c0).T[None], torch.from_numpy(c1).T[None],
+            torch.from_numpy(f0).T[None], torch.from_numpy(f1).T[None],
+        )
+    np.testing.assert_allclose(_np(o0_j), t0[0].numpy().T, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(_np(o1_j), t1[0].numpy().T, rtol=1e-4, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # (c) MetricLoss
 # ---------------------------------------------------------------------------
