@@ -24,7 +24,6 @@ number is published — BASELINE.md).  The north-star target is 2x A100, i.e.
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -46,12 +45,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # persistent compilation cache (repo-local so it survives /tmp cleanup
-    # between rounds)
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".xla_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NO persistent compilation cache: on this box's axon (tunneled-TPU)
+    # backend a cache HIT hangs executable loading (measured 2026-08-18: a
+    # program that compiles cold in 4.9 s hangs > 280 s when loaded from a
+    # populated jax_compilation_cache_dir).  The 429-505 s "cold compiles"
+    # recorded in rounds 2-3 were such stalls; a true cold compile of the
+    # whole bench program is ~90-120 s (docs/PERF.md).
 
     from apr_tpu.config import APRConfig
     from apr_tpu.data.synthetic import pad_points, synthetic_pair
@@ -172,9 +171,9 @@ def main():
                 "value": round(value, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(value / TARGET_PAIRS_PER_SEC, 4),
-                # tracked so compile-time regressions are visible round to
-                # round (r2 cold compile hit 505 s); warm reruns hit the
-                # repo-local persistent cache and report seconds, not minutes
+                # tracked so compile-time regressions stay visible round to
+                # round (true cold compile ~90-120 s; the r2 505 s was a
+                # persistent-cache stall, root-caused and removed)
                 "compile_s": round(compile_s, 1),
             }
         )

@@ -3,8 +3,8 @@
 Times jax.jit(...).lower(...) (tracing + StableHLO emission) and
 .compile() (XLA:TPU backend) separately for each piece of the bench.py
 eval pipeline, so compile-time optimization targets the real hog instead
-of guesses.  The persistent cache is pointed at a throwaway directory so
-every number is a true cold compile.
+of guesses.  No persistent cache is configured (axon cache hits hang, see
+bench.py), so every number is a true cold compile.
 
 Usage: python tools/profile_compile.py [--skip-full]
 """
@@ -12,7 +12,6 @@ Usage: python tools/profile_compile.py [--skip-full]
 import argparse
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -35,7 +34,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", tempfile.mkdtemp())
+    # no persistent compilation cache: axon cache hits hang (see bench.py)
 
     from apr_tpu.config import APRConfig
     from apr_tpu.data.synthetic import pad_points, synthetic_pair

@@ -18,9 +18,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".xla_cache"))
+    # no persistent compilation cache: axon cache hits hang (see bench.py)
 
     from apr_tpu.models.sparse import (
         SparseLevel, build_pyramid, downsample_level, kernel_map_same,

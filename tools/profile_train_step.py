@@ -40,10 +40,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".xla_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # no persistent compilation cache: axon cache hits hang (see bench.py)
 
     from apr_tpu.config import APRConfig
     from apr_tpu.data.synthetic import pad_points, synthetic_pair

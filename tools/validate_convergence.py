@@ -38,9 +38,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".xla_cache"))
+    # no persistent compilation cache: axon cache hits hang (see bench.py)
 
     from apr_tpu.config import APRConfig
     from apr_tpu.data.synthetic import pad_points, synthetic_pair
