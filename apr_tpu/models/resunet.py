@@ -66,6 +66,17 @@ class SparseConv(nn.Module):
     kernel_volume: int  # K = kernel_size**3
     use_bias: bool = False
     compute_dtype: Optional[str] = None  # "bfloat16" for mixed precision
+    # ones_input=True: the caller guarantees feats == mask (constant 1 on
+    # real voxels, 0 on padding) — FCGF's input convention.  The gathered
+    # [N, K, 1] matrix is then EXACTLY the table-validity pattern (kernel
+    # maps never reference masked rows: their keys are INVALID_KEY, see
+    # sparse._zrun_maps), so the gather is skipped entirely:
+    # out = (table != sentinel) @ W.  Same matmul operands as the gather
+    # form -> bit-identical output, but 35x faster on v5e (a 1-wide row
+    # gather pads every row to a 128-lane tile; 125-pt conv1 measured
+    # 16.9 ms -> 0.48 ms at 16k voxels) and the backward is one matmul
+    # (dW = valid^T @ g) instead of a row scatter-add.
+    ones_input: bool = False
 
     @nn.compact
     def __call__(self, feats, table, out_mask, table_t=None, in_mask=None,
@@ -83,8 +94,23 @@ class SparseConv(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_in", "uniform"),
             (self.kernel_volume, ci, self.out_channels),
         )
-        out = _conv(feats, table, table_t, w, out_mask, in_mask, reverse_k,
-                    self.compute_dtype)
+        if self.ones_input:
+            if ci != 1:
+                raise ValueError("ones_input requires in_channels == 1")
+            b, n_out, k = table.shape
+            n_in = feats.shape[1]
+            cd = (jnp.dtype(self.compute_dtype) if self.compute_dtype
+                  else feats.dtype)
+            valid = (table < n_in).astype(cd).reshape(b * n_out, k)
+            out = jax.lax.dot_general(
+                valid, w.reshape(k, self.out_channels).astype(cd),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, n_out, self.out_channels)
+            out = jnp.where(out_mask[..., None], out, 0.0).astype(jnp.float32)
+        else:
+            out = _conv(feats, table, table_t, w, out_mask, in_mask,
+                        reverse_k, self.compute_dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             out = jnp.where(out_mask[..., None], out + b, 0.0)
@@ -150,6 +176,9 @@ class ResUNet2(nn.Module):
     # >1: leading batch axis carries interleaved stat groups (pair fold) —
     # BN statistics stay bit-faithful to sequential per-group forwards
     stats_groups: int = 1
+    # input feats are the mask itself (FCGF ones convention): conv1 becomes
+    # a validity matmul with no gather — see SparseConv.ones_input
+    ones_input: bool = False
 
     @nn.compact
     def __call__(self, feats, pyramid: SparsePyramid, train: bool = False):
@@ -163,7 +192,8 @@ class ResUNet2(nn.Module):
 
         # --- encoder ---
         cd = self.compute_dtype
-        out_s1 = SparseConv(ch[0], k1, compute_dtype=cd, name="conv1")(
+        out_s1 = SparseConv(ch[0], k1, compute_dtype=cd,
+                            ones_input=self.ones_input, name="conv1")(
             feats, pyramid.conv1_map, masks[0]
         )
         out_s1 = norm()(out_s1, masks[0], use_running_average=not train)

@@ -32,6 +32,9 @@ class SimpleUNet(nn.Module):
     bn_momentum: float = 0.1
     normalize_feature: bool = False
     conv1_kernel_size: int = 3
+    compute_dtype: str = None  # "bfloat16": bf16 convs, f32 accum
+    stats_groups: int = 1      # see ResUNet2.stats_groups (pair fold)
+    ones_input: bool = False   # see SparseConv.ones_input
 
     @nn.compact
     def __call__(self, feats, pyramid: SparsePyramid, train: bool = False):
@@ -40,17 +43,20 @@ class SimpleUNet(nn.Module):
             f"pyramid has {len(pyramid.levels)} levels, need {levels}"
         )
         masks = [lv.mask for lv in pyramid.levels]
+        cd = self.compute_dtype
 
         def norm():
-            return _norm(self.norm_type, self.bn_momentum)
+            return _norm(self.norm_type, self.bn_momentum, self.stats_groups)
 
         outs = []
         x = SparseConv(self.channels[0], self.conv1_kernel_size ** 3,
+                       compute_dtype=cd, ones_input=self.ones_input,
                        name="conv1")(feats, pyramid.conv1_map, masks[0])
         x = nn.relu(norm()(x, masks[0], use_running_average=not train))
         outs.append(x)
         for l in range(1, levels):
-            x = SparseConv(self.channels[l], 27, name=f"conv{l + 1}")(
+            x = SparseConv(self.channels[l], 27, compute_dtype=cd,
+                           name=f"conv{l + 1}")(
                 x, pyramid.down_maps[l - 1], masks[l],
                 table_t=pyramid.up_maps[l - 1], in_mask=masks[l - 1],
                 reverse_k=False,
@@ -59,7 +65,8 @@ class SimpleUNet(nn.Module):
             outs.append(x)
 
         for l in range(levels - 1, 0, -1):
-            x = SparseConv(self.tr_channels[l], 27, name=f"conv{l + 1}_tr")(
+            x = SparseConv(self.tr_channels[l], 27, compute_dtype=cd,
+                           name=f"conv{l + 1}_tr")(
                 x, pyramid.up_maps[l - 1], masks[l - 1],
                 table_t=pyramid.down_maps[l - 1], in_mask=masks[l],
                 reverse_k=False,

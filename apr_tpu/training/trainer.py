@@ -38,7 +38,7 @@ from apr_tpu.losses.contrastive import (
     triplet_loss,
 )
 from apr_tpu.losses.generative import npr_reconstruction
-from apr_tpu.models import make_generative_mlp, make_resunet
+from apr_tpu.models import load_model, make_generative_mlp
 from apr_tpu.registration.matching import feature_nn_correspondences
 from apr_tpu.registration.metrics import hit_ratio, registration_errors
 from apr_tpu.training.batching import PairBatch
@@ -95,25 +95,29 @@ class FCGFTrainer:
               else config.compute_dtype)
         enc_kwargs = dict(
             in_channels=1,
+            # batching.py feeds masked ones as input features (the FCGF
+            # convention) -> conv1 runs as a validity matmul, no gather
+            ones_input=True,
             out_channels=config.model_n_out,
             normalize_feature=config.normalize_feature,
             conv1_kernel_size=config.conv1_kernel_size,
             bn_momentum=config.bn_momentum,
             compute_dtype=cd,
         )
-        self.encoder = make_resunet(config.model, **enc_kwargs)
+        # registry dispatch (FCGF_APR/model/__init__.py:18): ResUNet and
+        # SimpleNet families are both legal encoder names
+        encoder_factory = load_model(config.model)
+        self.encoder = encoder_factory(**enc_kwargs)
         # identical module (same param/stat tree), but BN treats the leading
         # axis as 2 interleaved stat groups — the train-mode pair fold
-        self.encoder_folded = make_resunet(config.model, stats_groups=2,
-                                           **enc_kwargs)
+        self.encoder_folded = encoder_factory(stats_groups=2, **enc_kwargs)
         self.generative = config.trainer == "GenerativePairTrainer"
         self.symmetric = bool(config.symmetric) and self.generative
         if self.symmetric:
             # symmetric NPR mode (complement_trainer.py:52-60, 413-419): the
             # decoder is a SECOND ResUNet over the same voxel pyramid whose
             # final head emits point_generation_ratio*3 offset channels
-            self.generator = make_resunet(
-                config.generator_model,
+            self.generator = load_model(config.generator_model)(
                 in_channels=config.model_n_out,
                 out_channels=config.point_generation_ratio * 3,
                 normalize_feature=False,

@@ -105,3 +105,48 @@ def test_registry_names():
     assert m.tr_channels == (128, 128, 128, 256)
     with pytest.raises(ValueError):
         load_model("NoSuchNet")
+
+
+def test_ones_input_conv1_parity(rng, jax_key):
+    """ones_input=True (validity-matmul conv1, no gather) must reproduce the
+    gather-form forward exactly: the gathered [N, K, 1] matrix of a masked
+    all-ones input IS the table-validity pattern, so both paths feed the
+    same operands to the same matmul."""
+    pyr = _batch_pyramid(rng)
+    feats = jnp.ones((2, CAPS[0], 1), jnp.float32)
+    feats = jnp.where(pyr.levels[0].mask[..., None], feats, 0.0)
+    kw = dict(in_channels=1, out_channels=16, conv1_kernel_size=3)
+    gather_form = make_resunet("ResUNetBN2C", **kw)
+    ones_form = make_resunet("ResUNetBN2C", ones_input=True, **kw)
+    variables = gather_form.init(jax_key, feats, pyr, train=False)
+    # identical parameter trees: ones_input changes the apply path only
+    assert jax.tree_util.tree_structure(
+        ones_form.init(jax_key, feats, pyr, train=False)
+    ) == jax.tree_util.tree_structure(variables)
+    a = gather_form.apply(variables, feats, pyr, train=False)
+    b = ones_form.apply(variables, feats, pyr, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # train mode (batch-stat updates) must agree too
+    at, au = gather_form.apply(variables, feats, pyr, train=True,
+                               mutable=["batch_stats"])
+    bt, bu = ones_form.apply(variables, feats, pyr, train=True,
+                             mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(at), np.asarray(bt), atol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(au),
+                    jax.tree_util.tree_leaves(bu)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_ones_input_simpleunet_parity(rng, jax_key):
+    from apr_tpu.models import make_simplenet
+    pyr = _batch_pyramid(rng)
+    feats = jnp.ones((2, CAPS[0], 1), jnp.float32)
+    feats = jnp.where(pyr.levels[0].mask[..., None], feats, 0.0)
+    kw = dict(in_channels=1, out_channels=8, conv1_kernel_size=3)
+    gather_form = make_simplenet("SimpleNet", **kw)
+    ones_form = make_simplenet("SimpleNet", ones_input=True, **kw)
+    variables = gather_form.init(jax_key, feats, pyr, train=False)
+    a = gather_form.apply(variables, feats, pyr, train=False)
+    b = ones_form.apply(variables, feats, pyr, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
