@@ -249,10 +249,12 @@ class KittiComplementDataset(PairDataset):
                  self.phase, len(self.files), self.drives)
 
     def _load_lokitti(self):
-        path = os.path.join(os.path.dirname(__file__), "splits",
-                            "file_LoKITTI_50.npy")
+        # a user-supplied pair list at the dataset root takes precedence;
+        # the vendored reference artifact is the default
+        path = os.path.join(self.root, "file_LoKITTI_50.npy")
         if not os.path.exists(path):
-            path = os.path.join(self.root, "file_LoKITTI_50.npy")
+            path = os.path.join(os.path.dirname(__file__), "splits",
+                                "file_LoKITTI_50.npy")
         pairs = np.load(path)
         self.files = [(int(d), int(t0), int(t1)) for d, t0, t1 in pairs]
         log.info("LoKITTI: %d fixed pairs", len(self.files))

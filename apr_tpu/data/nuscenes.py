@@ -120,13 +120,15 @@ class NuscenesComplementDataset(KittiComplementDataset):
         log.info("nuScenes %s: %d pairs", self.phase, len(self.files))
 
     def _load_lonuscenes(self):
-        # vendored benchmark artifact (reference FCGF_APR/config/
-        # file_LoNUSCENES_50.npy, (994, 3) object [log, t0, t1]); dataset
-        # root checked as a fallback for user-supplied pair lists
-        path = os.path.join(os.path.dirname(__file__), "splits",
+        # a user-supplied pair list at the dataset root takes precedence
+        # (the only supported location before the artifact was vendored);
+        # the repo-vendored reference benchmark (FCGF_APR/config/
+        # file_LoNUSCENES_50.npy, (994, 3) object [log, t0, t1]) is the
+        # default
+        path = os.path.join(self.config.kitti_root,
                             "file_LoNUSCENES_50.npy")
         if not os.path.exists(path):
-            path = os.path.join(self.config.kitti_root,
+            path = os.path.join(os.path.dirname(__file__), "splits",
                                 "file_LoNUSCENES_50.npy")
         pairs = np.load(path, allow_pickle=True)
         self.files = [(str(d), int(t0), int(t1)) for d, t0, t1 in pairs]

@@ -363,24 +363,35 @@ class PredatorTrainer:
     # GSPMD shard the stack over the mesh — gradients all-reduce over ICI.
 
     def _batched_loss(self, params, batch_stats, batch: KPPairBatch, keys,
-                      w_saliency, train: bool):
+                      w_saliency, train: bool, pair_weights=None):
+        """``pair_weights`` [B] (summing to 1) weight each pair's loss,
+        batch_stats and metrics — used by the train loop to zero out
+        repetition-padded tail pairs so they don't bias gradients (the
+        padded entries repeat the last real pair, predator_loop._group_iter).
+        None means uniform."""
         def one(b, k):
             return self.loss_fn(params, batch_stats, b, k, w_saliency, train)
 
         losses, (new_stats, metrics) = jax.vmap(one)(batch, keys)
-        # batch_stats (generator MLP running stats) and scalar metrics
-        # average across the pair axis
-        new_stats = jax.tree.map(lambda a: jnp.mean(a, axis=0), new_stats)
-        metrics = jax.tree.map(lambda a: jnp.mean(a, axis=0), metrics)
-        return jnp.mean(losses), (new_stats, metrics)
+        if pair_weights is None:
+            pair_weights = jnp.full(losses.shape, 1.0 / losses.shape[0])
+
+        def wmean(a):
+            w = pair_weights.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.sum(a * w, axis=0)
+
+        new_stats = jax.tree.map(wmean, new_stats)
+        metrics = jax.tree.map(wmean, metrics)
+        return jnp.sum(losses * pair_weights), (new_stats, metrics)
 
     @partial(jax.jit, static_argnames=("self",))
     def train_step_batched(self, state: TrainState, batch: KPPairBatch,
-                           keys, w_saliency):
+                           keys, w_saliency, pair_weights=None):
         """batch: KPPairBatch with leading pair axis [B, ...]; keys [B, 2]."""
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
             self._batched_loss, has_aux=True
-        )(state.params, state.batch_stats, batch, keys, w_saliency, True)
+        )(state.params, state.batch_stats, batch, keys, w_saliency, True,
+          pair_weights)
         return self._finite_gated_update(state, loss, grads, new_stats,
                                          metrics)
 

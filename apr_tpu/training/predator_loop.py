@@ -85,18 +85,17 @@ def run_predator_training(config: APRConfig,
     # neighborhood calibration (reference Predator_APR/main.py:94-111):
     # when the config does not pin limits, histogram the train set once and
     # cap each layer at the 80th-percentile neighbor count
+    train_ds = make_dataset(config, "train")
     if not config.neighborhood_limits_pinned:
         from apr_tpu.eval.predator_tester import calibrate_neighbors
 
-        train_ds_cal = make_dataset(config, "train")
-        limits = calibrate_neighbors(train_ds_cal, config)
+        limits = calibrate_neighbors(train_ds, config)
         log.info("calibrated neighborhood_limits: %s", limits)
         config.neighborhood_limits = limits
 
     config.save_json(os.path.join(config.out_dir, "config.json"))
 
     trainer = PredatorTrainer(config)
-    train_ds = make_dataset(config, "train")
     val_ds = make_dataset(config, "val")
 
     devices = jax.devices()
@@ -140,13 +139,18 @@ def run_predator_training(config: APRConfig,
         # deferred metric reads: float(step k-1's metrics) AFTER dispatching
         # step k — no per-step device sync (same pattern as loop.py)
         pending = None
-        for batch, _ in _group_iter(train_ds, order, config, n_dev, mesh,
-                                    pad_tail=len(train_ds) <= n_dev):
+        for batch, n_real in _group_iter(train_ds, order, config, n_dev,
+                                         mesh,
+                                         pad_tail=len(train_ds) <= n_dev):
             key, k = jax.random.split(key)
             keys = jax.random.split(k, n_dev)
+            # repetition-padded tail pairs get zero weight so they bias
+            # neither the gradients nor the logged train metrics
+            pw = jnp.where(jnp.arange(n_dev) < n_real, 1.0 / n_real, 0.0)
             timer.tic()
             state, m = trainer.train_step_batched(state, batch, keys,
-                                                  jnp.asarray(w_saliency))
+                                                  jnp.asarray(w_saliency),
+                                                  pw)
             if pending is not None:
                 for name, v in pending.items():
                     meters.setdefault(name, AverageMeter()).update(float(v))

@@ -188,7 +188,21 @@ def main():
     )
 
     if args.stages:
-        # truncated pipelines, same scan protocol; deltas are stage costs
+        # truncated pipelines, same scan protocol; deltas are stage costs.
+        # The tunnel to this box's TPU adds one-sided noise that varies by
+        # the minute, so every probe takes the MIN of 3 timed dispatches and
+        # the full pipeline is re-measured contemporaneously — otherwise a
+        # subset probe can "cost more" than the total it is a subset of
+        # (observed: prep+encode 128.3 ms/pair vs a 99.1 total measured
+        # minutes earlier).
+        def _min_of(run, n=3):
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.time()
+                jax.block_until_ready(run(jax.random.PRNGKey(2), raw))
+                best = min(best, time.time() - t0)
+            return best / (SCAN_ITERS * GROUP) * 1e3
+
         def stage_scan(fn, label):
             @jax.jit
             def run(key, raw):
@@ -197,19 +211,26 @@ def main():
                 keys = jax.random.split(key, SCAN_ITERS)
                 acc, _ = jax.lax.scan(body, jnp.zeros(()), keys)
                 return acc
-            r = run(jax.random.PRNGKey(2), raw)
-            jax.block_until_ready(r)
-            t0 = time.time()
-            r = run(jax.random.PRNGKey(2), raw)
-            jax.block_until_ready(r)
-            ms = (time.time() - t0) / (SCAN_ITERS * GROUP) * 1e3
+            jax.block_until_ready(run(jax.random.PRNGKey(2), raw))  # compile
+            ms = _min_of(run)
             print(f"# stage {label:<24}{ms:8.1f} ms/pair", file=sys.stderr)
             return ms
 
         def prep_only(k, raw):
+            # DCE-proof: consume EVERY map of both pyramids — reading one
+            # coord lets XLA delete the whole kernel-map build (the round-1
+            # pyramid-probe trap, docs/PERF.md; re-found in round 3 when
+            # this probe reported 1.7 ms/pair while the true cost was 44.8)
             b = _make_batch(k, raw)
-            return jnp.sum(b.pyramid0.levels[0].coords[0, 0].astype(
-                jnp.float32))
+            s = jnp.zeros((), jnp.float32)
+            for pyr in (b.pyramid0, b.pyramid1):
+                for lv in pyr.levels:
+                    s += lv.keys.sum() + lv.mask.sum()
+                for m in pyr.same_maps + pyr.down_maps + pyr.up_maps:
+                    s += m.sum()
+                s += pyr.conv1_map.sum()
+            return (s + b.feats0.sum() + b.xyz0.sum()
+                    + b.feats1.sum() + b.xyz1.sum())
 
         def prep_encode(k, raw):
             b = _make_batch(k, raw)
@@ -240,11 +261,18 @@ def main():
 
         t_prep = stage_scan(prep_only, "voxelize+pyramid")
         t_enc = stage_scan(prep_encode, "+ encoder fwd x2")
-        total_ms = dt / n_pairs * 1e3
+
+        @jax.jit
+        def run_full(key, raw):  # full pipeline, same min-of-3 protocol
+            return bench_scan(key, raw)[0]
+
+        jax.block_until_ready(run_full(jax.random.PRNGKey(2), raw))
+        total_ms = _min_of(run_full)
         print(f"# stage {'encoder alone':<24}{t_enc - t_prep:8.1f} ms/pair",
               file=sys.stderr)
         print(f"# stage {'match+RANSAC+errors':<24}{total_ms - t_enc:8.1f}"
-              f" ms/pair (total {total_ms:.1f})", file=sys.stderr)
+              f" ms/pair (total {total_ms:.1f}, min-of-3 contemporaneous)",
+              file=sys.stderr)
 
 
 def _bench_predator(jax, jnp):

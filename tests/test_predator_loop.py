@@ -148,6 +148,43 @@ def test_predator_batched_step_matches_per_pair_mean():
 
 
 @pytest.mark.slow
+def test_padded_tail_pairs_contribute_zero_gradient():
+    """The train loop repetition-pads ragged tail groups
+    (predator_loop._group_iter) and zero-weights the pads
+    (predator_loop.py:147-153).  A padded 4-group with weights
+    (.5,.5,0,0) must produce the SAME loss and post-step params as the
+    honest 2-pair group — i.e. pads bias neither gradients nor metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    trainer, cfg, pairs = _tiny_trainer_and_pairs(n_pairs=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), pairs[0])
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    w = jnp.asarray(0.0)
+
+    stacked4 = jax.tree.map(lambda *xs: jnp.stack(xs), pairs[0], pairs[1],
+                            pairs[1], pairs[1])
+    pw = jnp.asarray([0.5, 0.5, 0.0, 0.0])
+    st_a, m_a = trainer.train_step_batched(state, stacked4, keys, w, pw)
+
+    stacked2 = jax.tree.map(lambda *xs: jnp.stack(xs), pairs[0], pairs[1])
+    st_b, m_b = trainer.train_step_batched(state, stacked2, keys[:2], w)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5, atol=1e-7)
+    max_delta = jax.tree_util.tree_reduce(
+        lambda acc, t: max(acc, float(jnp.abs(t).max())),
+        jax.tree.map(lambda a, b: a - b, st_a.params, st_b.params), 0.0)
+    assert max_delta < 1e-6, max_delta
+
+    # and the weights actually flow: uniform weights over the padded group
+    # (counting the repeated pair 3x) give a DIFFERENT loss
+    _, m_c = trainer.train_step_batched(
+        state, stacked4, keys, w, jnp.full((4,), 0.25))
+    assert abs(float(m_c["loss"]) - float(m_b["loss"])) > 1e-6
+
+
+@pytest.mark.slow
 def test_calibrate_neighbors_wired_into_training(tmp_path, monkeypatch):
     """Reference Predator_APR/main.py:94-111 calibrates neighbor caps on the
     train set and feeds them to every loader.  When the config does not pin

@@ -228,21 +228,12 @@ def import_gcn(sd, dst, nets=("self", "cross", "self"), prefix="gnn"):
             d = dst[f"self_{i}"]
             for conv in ("conv1", "conv2", "conv3"):
                 d[conv]["kernel"] = _conv2d_w(sd, f"{t}.{conv}.weight")
-        elif kind == "cross_cat":
-            # AttentionalPropagationCat (gcn.py:159-168): same key layout as
-            # cross (proj[0] aliases .distribute, both names hold the tensor)
-            d = dst[f"cross_cat_{i}"]
-            for j, name in enumerate(("q", "k", "v")):
-                d[name]["kernel"] = _conv1d_w(sd, f"{t}.attn.proj.{j}.weight")
-                d[name]["bias"] = _t(sd[f"{t}.attn.proj.{j}.bias"])
-            d["merge"]["kernel"] = _conv1d_w(sd, f"{t}.attn.merge.weight")
-            d["merge"]["bias"] = _t(sd[f"{t}.attn.merge.bias"])
-            d["mlp1"]["kernel"] = _conv1d_w(sd, f"{t}.mlp.0.weight")
-            d["mlp1"]["bias"] = _t(sd[f"{t}.mlp.0.bias"])
-            d["mlp2"]["kernel"] = _conv1d_w(sd, f"{t}.mlp.3.weight")
-            d["mlp2"]["bias"] = _t(sd[f"{t}.mlp.3.bias"])
         else:
-            d = dst[f"cross_{i}"]
+            # 'cross' and 'cross_cat' (AttentionalPropagationCat,
+            # gcn.py:159-168) share the exact key layout; only the apr_tpu
+            # module name differs (proj[0] aliases .distribute — both names
+            # hold the same tensor)
+            d = dst[f"{kind}_{i}"]
             for j, name in enumerate(("q", "k", "v")):
                 d[name]["kernel"] = _conv1d_w(sd, f"{t}.attn.proj.{j}.weight")
                 d[name]["bias"] = _t(sd[f"{t}.attn.proj.{j}.bias"])
