@@ -67,6 +67,7 @@ class KPEncoder(nn.Module):
     num_kernel_points: int = 15
     deformable: bool = False
     modulated: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, pyr: KPPyramid, feats: Optional[jnp.ndarray] = None):
@@ -77,8 +78,11 @@ class KPEncoder(nn.Module):
 
         out_dim = self.first_feats_dim
         lv = pyr.levels
-        if feats is None:
-            # reference input features: ones (in_feats_dim = 1)
+        ones_input = feats is None
+        if ones_input:
+            # reference input features: ones (in_feats_dim = 1); the static
+            # ones_input promise lets the first KPConv skip its feature
+            # gather (validity row-sum, see KPConvLayer)
             feats = jnp.where(
                 lv[0].mask[..., None],
                 jnp.ones(lv[0].points.shape[:-1] + (1,), jnp.float32), 0.0,
@@ -87,11 +91,14 @@ class KPEncoder(nn.Module):
         skips = []
         r = r0
         x = SimpleBlock(
-            out_dim, r, extent(r), self.num_kernel_points, name="enc_simple"
+            out_dim, r, extent(r), self.num_kernel_points,
+            compute_dtype=self.compute_dtype, ones_input=ones_input,
+            name="enc_simple",
         )(lv[0].points, lv[0].points, lv[0].neighbors, feats, lv[0].mask)
         x = ResnetBottleneckBlock(
             out_dim, r, extent(r), deformable=self.deformable,
-            modulated=self.modulated, name="enc_l0_resnetb"
+            modulated=self.modulated, compute_dtype=self.compute_dtype,
+            name="enc_l0_resnetb"
         )(lv[0].points, lv[0].points, lv[0].neighbors, x, lv[0].mask, lv[0].mask)
 
         for l in range(3):
@@ -103,19 +110,21 @@ class KPEncoder(nn.Module):
             x = ResnetBottleneckBlock(
                 out_dim, r, extent(r), strided=True,
                 deformable=self.deformable, modulated=self.modulated,
-                name=f"enc_l{l}_strided",
+                compute_dtype=self.compute_dtype, name=f"enc_l{l}_strided",
             )(lv[l + 1].points, lv[l].points, lv[l].pools, x,
               lv[l + 1].mask, lv[l].mask)
             out_dim *= 2
             r *= 2
             x = ResnetBottleneckBlock(
                 out_dim, r, extent(r), deformable=self.deformable,
-                modulated=self.modulated, name=f"enc_l{l + 1}_resnetb1"
+                modulated=self.modulated, compute_dtype=self.compute_dtype,
+                name=f"enc_l{l + 1}_resnetb1"
             )(lv[l + 1].points, lv[l + 1].points, lv[l + 1].neighbors, x,
               lv[l + 1].mask, lv[l + 1].mask)
             x = ResnetBottleneckBlock(
                 out_dim, r, extent(r), deformable=self.deformable,
-                modulated=self.modulated, name=f"enc_l{l + 1}_resnetb2"
+                modulated=self.modulated, compute_dtype=self.compute_dtype,
+                name=f"enc_l{l + 1}_resnetb2"
             )(lv[l + 1].points, lv[l + 1].points, lv[l + 1].neighbors, x,
               lv[l + 1].mask, lv[l + 1].mask)
         return x, skips
@@ -162,6 +171,7 @@ class KPFCNN(nn.Module):
     add_cross_score: bool = True
     deformable: bool = False
     modulated: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, pyr0: KPPyramid, pyr1: KPPyramid) -> KPFCNNOutputs:
@@ -170,7 +180,7 @@ class KPFCNN(nn.Module):
             self.first_feats_dim, self.first_subsampling_dl,
             self.conv_radius, self.kp_extent, self.num_kernel_points,
             deformable=self.deformable, modulated=self.modulated,
-            name="encoder",
+            compute_dtype=self.compute_dtype, name="encoder",
         )
         x, skips = encoder(pyr)                      # x: [2, N3, 2048]
         mask_c = pyr.levels[-1].mask                 # [2, N3]
@@ -255,6 +265,7 @@ class KPFCNNDecoder(nn.Module):
     num_kernel_points: int = 15
     deformable: bool = False
     modulated: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, feats0, feats1, pyr0: KPPyramid, pyr1: KPPyramid):
@@ -264,7 +275,7 @@ class KPFCNNDecoder(nn.Module):
             self.first_feats_dim, self.first_subsampling_dl,
             self.conv_radius, self.kp_extent, self.num_kernel_points,
             deformable=self.deformable, modulated=self.modulated,
-            name="encoder",
+            compute_dtype=self.compute_dtype, name="encoder",
         )
         x_b, skips = encoder(pyr, feats)
         decoder = KPDecoder(self.point_generation_ratio * 3, name="decoder")

@@ -108,6 +108,8 @@ class PredatorTrainer:
     def __init__(self, config: APRConfig):
         self.config = config
         c = config
+        cd = (None if c.compute_dtype in (None, "float32")
+              else c.compute_dtype)
         self.model = KPFCNN(
             final_feats_dim=c.final_feats_dim,
             first_feats_dim=c.first_feats_dim,
@@ -123,6 +125,7 @@ class PredatorTrainer:
             add_cross_score=c.add_cross_score,
             deformable=c.deformable,
             modulated=c.modulated,
+            compute_dtype=cd,
         )
         self.symmetric = bool(c.symmetric)
         if self.symmetric:
@@ -139,6 +142,7 @@ class PredatorTrainer:
                 num_kernel_points=c.num_kernel_points,
                 deformable=c.deformable,
                 modulated=c.modulated,
+                compute_dtype=cd,
             )
         else:
             # final_bn: the Predator MLP flavor ends Linear-ReLU-BatchNorm
