@@ -120,3 +120,102 @@ def radius_neighbors(
     idx, d2 = knn(queries, supports, cap, q_mask, s_mask, chunk)
     radius = jnp.asarray(radius, d2.dtype)
     return jnp.where(d2 <= radius * radius, idx, ns).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cap", "tile", "window"))
+def windowed_radius_neighbors(
+    queries: jnp.ndarray,
+    supports: jnp.ndarray,
+    radius: float,
+    cap: int,
+    q_mask: Optional[jnp.ndarray] = None,
+    s_mask: Optional[jnp.ndarray] = None,
+    tile: int = 512,
+    window: int = 2560,
+) -> jnp.ndarray:
+    """`radius_neighbors` via cell-key-sorted contiguous support windows.
+
+    Same contract as :func:`radius_neighbors` (distance-sorted in-radius
+    indices truncated to ``cap``, sentinel ``Ns`` padding) but the per-query
+    candidate set is a contiguous slice of supports sorted by x-major cell
+    key (cell = ``radius``), the same access pattern as
+    `ops.chamfer_window`: every support within ``radius`` of a query lies in
+    x-cells [cx-1, cx+1], which is one contiguous key range.  The brute
+    force then scores [tile, window] pairs instead of [tile, Ns] — on the
+    v5e the `lax.top_k` over the support axis dominates the brute-force
+    search (66 ms for 16k x 16k at cap 40; the distance planes are ~3 ms),
+    so shrinking the scored axis ~8x cuts the table build proportionally.
+
+    EXACT whenever each query tile's +-1-x-cell slab holds at most
+    ``window`` supports; overflow truncates the largest-x candidates of the
+    slab (tests pin exactness at LiDAR-like density with the default
+    sizes).  Pick ``window`` generously — the cost scales with it, but so
+    does the exactness margin.
+    """
+    from apr_tpu.ops.chamfer_window import _slab_key, sort_cloud, _INVALID, \
+        _SLAB_SHIFT, _OFFSET
+
+    nq, ns = queries.shape[0], supports.shape[0]
+    if q_mask is None:
+        q_mask = jnp.ones((nq,), bool)
+    window = min(window, ns)
+    # a tile's slab spans its queries' whole x-range: keep >= 32 tiles so no
+    # single tile drags a wide slab past the window (the slab holds roughly
+    # ns/ntiles + the 2-cell boundary margin; adversarial clustered-density
+    # bounds are pinned in tests/test_ops_neighbors.py).  Above ~2560 the
+    # top_k cost jumps nonlinearly, so prefer narrower tiles over a bigger
+    # window.
+    tile = max(64, min(tile, _pad_len(nq, 64) // 32))
+    q = sort_cloud(queries, q_mask, radius, pad=0)
+    s = sort_cloud(supports, s_mask, radius, pad=window)
+
+    qvalid = q.keys != _INVALID
+    qcx = (q.keys >> _SLAB_SHIFT) - _OFFSET
+
+    nq_p = -(-nq // tile) * tile
+    def pad_to(v, fill):
+        return jnp.pad(v[:nq], (0, nq_p - nq), constant_values=fill)
+    qx_t = pad_to(q.x, 0.0).reshape(-1, tile)
+    qy_t = pad_to(q.y, 0.0).reshape(-1, tile)
+    qz_t = pad_to(q.z, 0.0).reshape(-1, tile)
+    qv_t = pad_to(qvalid, False).reshape(-1, tile)
+    big = _INVALID // 2
+    qcx_t = pad_to(jnp.where(qvalid, qcx, big), big).reshape(-1, tile)
+    cx_lo = jnp.min(jnp.where(qv_t, qcx_t, big), axis=1)
+    cx_hi = jnp.max(jnp.where(qv_t, qcx_t, -big), axis=1)
+
+    lo = jnp.searchsorted(s.keys, _slab_key(cx_lo - 1)).astype(jnp.int32)
+    hi = jnp.searchsorted(s.keys, _slab_key(cx_hi + 2)).astype(jnp.int32)
+
+    offs = jnp.arange(window, dtype=jnp.int32)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    k_eff = min(cap, window)
+
+    def body(_, inp):
+        tqx, tqy, tqz, tqv, tlo, thi = inp
+        wx = jax.lax.dynamic_slice(s.x, (tlo,), (window,))
+        wy = jax.lax.dynamic_slice(s.y, (tlo,), (window,))
+        wz = jax.lax.dynamic_slice(s.z, (tlo,), (window,))
+        wvalid = tlo + offs < thi
+        dx = tqx[:, None] - wx[None, :]
+        dy = tqy[:, None] - wy[None, :]
+        dz = tqz[:, None] - wz[None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        d2 = jnp.where(wvalid[None, :] & (d2 <= r2), d2, jnp.inf)
+        neg, widx = jax.lax.top_k(-d2, k_eff)
+        found = jnp.isfinite(neg) & tqv[:, None]
+        sidx = jnp.where(found, jnp.minimum(tlo + widx, ns), ns)
+        return None, sidx
+
+    _, sidx_t = jax.lax.scan(
+        body, None, (qx_t, qy_t, qz_t, qv_t, lo, hi)
+    )
+    sidx = sidx_t.reshape(-1, k_eff)[:nq]
+    if k_eff < cap:
+        sidx = jnp.pad(sidx, ((0, 0), (0, cap - k_eff)), constant_values=ns)
+    # sorted-support positions -> original support indices
+    s_order_pad = jnp.concatenate([s.order, jnp.full((1,), ns, jnp.int32)])
+    idx_sorted_rows = s_order_pad[jnp.minimum(sidx, ns)]
+    # unsort query rows to the original order
+    out = jnp.full((nq, cap), ns, jnp.int32).at[q.order].set(idx_sorted_rows)
+    return jnp.where(q_mask[:, None], out, ns).astype(jnp.int32)

@@ -108,3 +108,87 @@ def test_chamfer_gradients(rng):
     ra, rb = jax.grad(dense, argnums=(0, 1))(a, b)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-5)
+
+
+def _lidar_clustered(rng, n, extent=60.0):
+    """Dense ground ring + uniform background — the anisotropic density that
+    stresses the x-slab window (many points share one x-slab at the ring's
+    tangent)."""
+    m = n * 3 // 4
+    ang = rng.uniform(0, 2 * np.pi, m)
+    rad = np.abs(rng.normal(12, 8, m))
+    ring = np.stack([rad * np.cos(ang), rad * np.sin(ang),
+                     rng.normal(0, 0.2, m)], 1)
+    rest = rng.uniform(-extent, extent, (n - m, 3))
+    return np.clip(np.concatenate([ring, rest]),
+                   -extent, extent).astype(np.float32)
+
+
+def _assert_equal_up_to_distance_ties(q, s, a, b, cap):
+    """Neighbor tables may legally swap equal-distance entries: compare the
+    per-row sorted squared-distance multisets instead of raw indices."""
+    q = np.asarray(q); s = np.asarray(s)
+    a = np.asarray(a); b = np.asarray(b)
+    ns = s.shape[0]
+    sp = np.concatenate([s, np.full((1, 3), np.inf, np.float32)])
+
+    def row_d2(t):
+        g = sp[np.minimum(t, ns)]
+        d2 = ((q[:, None, :] - g) ** 2).sum(-1)
+        return np.where(t < ns, d2, np.inf)
+
+    da, db = row_d2(a), row_d2(b)
+    same_sentinels = (a < ns) == (b < ns)
+    assert same_sentinels.all()
+    np.testing.assert_allclose(np.sort(da, 1), np.sort(db, 1), rtol=1e-6)
+
+
+def test_windowed_radius_matches_exact_uniform(rng):
+    from apr_tpu.ops.neighbors import (radius_neighbors,
+                                       windowed_radius_neighbors)
+
+    for ns, nq, r, cap in [(2000, 2000, 1.3, 16), (4096, 1024, 2.5, 24),
+                           (4096, 4096, 1.275, 40)]:
+        s = jnp.asarray(rng.uniform(-60, 60, (ns, 3)).astype(np.float32))
+        q = jnp.asarray(s[rng.permutation(ns)[:nq]]
+                        + rng.normal(0, 0.3, (nq, 3)).astype(np.float32))
+        sm = jnp.asarray(rng.uniform(size=ns) > 0.1)
+        qm = jnp.asarray(rng.uniform(size=nq) > 0.1)
+        a = radius_neighbors(q, s, r, cap, q_mask=qm, s_mask=sm)
+        b = windowed_radius_neighbors(q, s, r, cap, q_mask=qm, s_mask=sm)
+        _assert_equal_up_to_distance_ties(q, s, a, b, cap)
+
+
+def test_windowed_radius_matches_exact_voxelized_clustered(rng):
+    """The production shape: grid-subsampled clustered LiDAR (voxelization
+    bounds the per-slab density that raw ring clouds can pile up)."""
+    from apr_tpu.ops.neighbors import (radius_neighbors,
+                                       windowed_radius_neighbors)
+    from apr_tpu.ops.voxelize import voxelize_pyramid
+
+    raw = _lidar_clustered(rng, 20000)
+    pts = jnp.asarray(raw)
+    mask = jnp.ones((raw.shape[0],), bool)
+    grids = voxelize_pyramid(pts, 0.3, (8192, 2048), mask)
+    g0, g1 = grids
+    r = 0.3 * 4.25
+    a = radius_neighbors(g0.barycenter, g0.barycenter, r, 40,
+                         q_mask=g0.mask, s_mask=g0.mask)
+    b = windowed_radius_neighbors(g0.barycenter, g0.barycenter, r, 40,
+                                  q_mask=g0.mask, s_mask=g0.mask)
+    _assert_equal_up_to_distance_ties(g0.barycenter, g0.barycenter, a, b, 40)
+    # pool-shaped (coarse queries into fine supports)
+    a = radius_neighbors(g1.barycenter, g0.barycenter, r, 40,
+                         q_mask=g1.mask, s_mask=g0.mask)
+    b = windowed_radius_neighbors(g1.barycenter, g0.barycenter, r, 40,
+                                  q_mask=g1.mask, s_mask=g0.mask)
+    _assert_equal_up_to_distance_ties(g1.barycenter, g0.barycenter, a, b, 40)
+
+
+def test_windowed_radius_masked_rows_are_sentinel(rng):
+    from apr_tpu.ops.neighbors import windowed_radius_neighbors
+
+    s = jnp.asarray(rng.uniform(-10, 10, (512, 3)).astype(np.float32))
+    qm = jnp.asarray(rng.uniform(size=512) > 0.5)
+    out = windowed_radius_neighbors(s, s, 1.0, 8, q_mask=qm)
+    assert bool(jnp.all(out[~qm] == 512))
