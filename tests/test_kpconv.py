@@ -283,3 +283,63 @@ def test_kpfcnn_deformable_forward(rng, jax_key):
     params = model.init(jax_key, pyr, pyr)["params"]
     out = model.apply({"params": params}, pyr, pyr)
     assert np.isfinite(np.asarray(out.feats0)).all()
+
+
+def test_ones_input_matches_regular(rng):
+    """ones_input=True (gather-free validity row-sum) must equal the regular
+    layer fed the explicit constant-ones feature — including the stacked-pair
+    form the encoder uses."""
+    import jax
+    from apr_tpu.models.kpconv import KPConvLayer
+    from apr_tpu.ops.neighbors import radius_neighbors
+
+    n = 300
+    pts = jnp.asarray(rng.uniform(-5, 5, size=(n, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=n) > 0.2)
+    nb = radius_neighbors(pts, pts, 1.5, 12, q_mask=mask, s_mask=mask)
+    ones = jnp.where(mask[:, None], 1.0, 0.0).astype(jnp.float32)
+
+    reg = KPConvLayer(out_channels=16, kp_extent=1.2, radius=1.5)
+    v = reg.init(jax.random.PRNGKey(0), pts, pts, nb, ones)
+    out_reg = reg.apply(v, pts, pts, nb, ones)
+
+    oi = KPConvLayer(out_channels=16, kp_extent=1.2, radius=1.5,
+                     ones_input=True)
+    out_oi = oi.apply(v, pts, pts, nb, ones)
+    np.testing.assert_allclose(np.asarray(out_oi), np.asarray(out_reg),
+                               rtol=1e-5, atol=1e-6)
+
+    # stacked pair
+    pts2 = jnp.stack([pts, pts[::-1]])
+    nb2 = jnp.stack([nb, radius_neighbors(pts2[1], pts2[1], 1.5, 12,
+                                          q_mask=mask[::-1],
+                                          s_mask=mask[::-1])])
+    ones2 = jnp.stack([ones, jnp.where(mask[::-1, None], 1.0, 0.0)])
+    out2_reg = reg.apply(v, pts2, pts2, nb2, ones2)
+    out2_oi = oi.apply(v, pts2, pts2, nb2, ones2)
+    np.testing.assert_allclose(np.asarray(out2_oi), np.asarray(out2_reg),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_kpconv_compute_dtype_close_to_f32(rng):
+    """bfloat16 compute path: positions/influences stay f32, so the output
+    tracks the f32 path within bf16 feature-rounding error."""
+    import jax
+    from apr_tpu.models.kpconv import KPConvLayer
+    from apr_tpu.ops.neighbors import radius_neighbors
+
+    n = 256
+    pts = jnp.asarray(rng.uniform(-40, 40, size=(n, 3)).astype(np.float32))
+    nb = radius_neighbors(pts, pts, 3.0, 16)
+    feats = jnp.asarray(rng.normal(size=(n, 24)).astype(np.float32))
+
+    f32 = KPConvLayer(out_channels=32, kp_extent=2.0, radius=3.0)
+    v = f32.init(jax.random.PRNGKey(0), pts, pts, nb, feats)
+    out_f32 = np.asarray(f32.apply(v, pts, pts, nb, feats))
+
+    bf = KPConvLayer(out_channels=32, kp_extent=2.0, radius=3.0,
+                     compute_dtype="bfloat16")
+    out_bf = np.asarray(bf.apply(v, pts, pts, nb, feats))
+    assert np.isfinite(out_bf).all()
+    scale = np.abs(out_f32).max()
+    assert np.abs(out_bf - out_f32).max() < 0.03 * scale
