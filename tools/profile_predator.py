@@ -127,9 +127,23 @@ def main():
               file=sys.stderr)
         return ms
 
+    from apr_tpu.models.kpfcnn import KPEncoder, stack_pair
+
+    enc = KPEncoder(cfg.first_feats_dim, cfg.first_subsampling_dl,
+                    cfg.conv_radius, cfg.KP_extent, cfg.num_kernel_points,
+                    compute_dtype=cfg.compute_dtype)
+
+    def encoder_probe(batch, ke):
+        out = enc.apply({"params": params["model"]["encoder"]},
+                        stack_pair(batch.pyr0, batch.pyr1))
+        return tree_sum(out)
+
+    t_enc = scan_time(encoder_probe, "encoder only (incl skips)")
     t_fwd = scan_time(fwd_probe, "KPFCNN forward")
     t_match = scan_time(match_probe, "+ sampling + feature match")
     t_full = scan_time(full_probe, "full tester step")
+    print(f"{'GCN+decoder+heads alone':<28}{t_fwd - t_enc:8.1f} ms/pair",
+          file=sys.stderr)
     print(f"{'sample+match alone':<28}{t_match - t_fwd:8.1f} ms/pair",
           file=sys.stderr)
     print(f"{'RANSAC+errors alone':<28}{t_full - t_match:8.1f} ms/pair",
