@@ -122,7 +122,8 @@ def radius_neighbors(
     return jnp.where(d2 <= radius * radius, idx, ns).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cap", "tile", "window"))
+@partial(jax.jit,
+         static_argnames=("cap", "tile", "window", "with_overflow"))
 def windowed_radius_neighbors(
     queries: jnp.ndarray,
     supports: jnp.ndarray,
@@ -132,6 +133,7 @@ def windowed_radius_neighbors(
     s_mask: Optional[jnp.ndarray] = None,
     tile: int = 512,
     window: int = 2560,
+    with_overflow: bool = False,
 ) -> jnp.ndarray:
     """`radius_neighbors` via cell-key-sorted contiguous support windows.
 
@@ -150,7 +152,9 @@ def windowed_radius_neighbors(
     ``window`` supports; overflow truncates the largest-x candidates of the
     slab (tests pin exactness at LiDAR-like density with the default
     sizes).  Pick ``window`` generously — the cost scales with it, but so
-    does the exactness margin.
+    does the exactness margin.  ``with_overflow=True`` additionally returns
+    the fraction of query tiles whose slab overflowed the window — the
+    truncation telemetry (same pattern as the chamfer clamp fraction).
     """
     from apr_tpu.ops.chamfer_window import _slab_key, sort_cloud, _INVALID, \
         _SLAB_SHIFT, _OFFSET
@@ -218,4 +222,8 @@ def windowed_radius_neighbors(
     idx_sorted_rows = s_order_pad[jnp.minimum(sidx, ns)]
     # unsort query rows to the original order
     out = jnp.full((nq, cap), ns, jnp.int32).at[q.order].set(idx_sorted_rows)
-    return jnp.where(q_mask[:, None], out, ns).astype(jnp.int32)
+    out = jnp.where(q_mask[:, None], out, ns).astype(jnp.int32)
+    if with_overflow:
+        overflow = jnp.mean(((hi - lo) > window).astype(jnp.float32))
+        return out, overflow
+    return out

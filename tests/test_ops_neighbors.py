@@ -192,3 +192,15 @@ def test_windowed_radius_masked_rows_are_sentinel(rng):
     qm = jnp.asarray(rng.uniform(size=512) > 0.5)
     out = windowed_radius_neighbors(s, s, 1.0, 8, q_mask=qm)
     assert bool(jnp.all(out[~qm] == 512))
+
+
+def test_windowed_radius_overflow_telemetry(rng):
+    from apr_tpu.ops.neighbors import windowed_radius_neighbors
+
+    s = jnp.asarray(rng.uniform(-40, 40, (4096, 3)).astype(np.float32))
+    _, ov = windowed_radius_neighbors(s, s, 1.3, 16, with_overflow=True)
+    assert float(ov) == 0.0
+    # force overflow: a tiny window cannot hold any slab
+    _, ov2 = windowed_radius_neighbors(s, s, 1.3, 16, window=64,
+                                       with_overflow=True)
+    assert float(ov2) > 0.0
