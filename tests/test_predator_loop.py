@@ -71,6 +71,10 @@ def _tiny_trainer_and_pairs(n_pairs=2):
 
     cfg = APRConfig(
         trainer="PredatorTrainer",
+        # f32: the exact-equality tests below (padded-4 == honest-2) compare
+        # DIFFERENT batch shapes of the same math; bf16 matmul tiling rounds
+        # differently per batch size, which is not what they test
+        compute_dtype="float32",
         final_feats_dim=8, first_feats_dim=16, gnn_feats_dim=16,
         dgcnn_k=4, num_head=2,
         generator_model="GenerativeMLP_4", point_generation_ratio=2,
