@@ -116,6 +116,7 @@ def synthetic_pair(
     distance: float = 15.0,
     apc_points: int = 60000,
     extent: float = 60.0,
+    max_range: float = 80.0,
 ):
     """A distant pair + APC targets with exact ground truth.
 
@@ -123,6 +124,13 @@ def synthetic_pair(
     sampled from ONE shared world scene), t_gt (4x4 mapping frame0 coords ->
     frame1 coords), apc0, apc1 (denser aggregated clouds in each frame's
     coordinates — the reconstruction targets of the APG recipe).
+
+    ``max_range`` sets each sensor's visibility radius.  When it is smaller
+    than the scene extent + pair distance, the two views share only a
+    lens-shaped overlap region that shrinks with ``distance`` — the
+    low-overlap structure that makes real distant pairs hard (LoKITTI pairs
+    at 40-50 m overlap by well under half a scan,
+    FCGF_APR/config/file_LoKITTI_50.npy).
     """
     rng = np.random.default_rng(seed)
     scene = _scene_surface_points(
@@ -139,8 +147,8 @@ def synthetic_pair(
         np.float32,
     )
 
-    p0 = _sample_view(scene, pos0, 0.0, rng, n_points)
-    p1 = _sample_view(scene, pos1, yaw, rng, n_points)
+    p0 = _sample_view(scene, pos0, 0.0, rng, n_points, max_range=max_range)
+    p1 = _sample_view(scene, pos1, yaw, rng, n_points, max_range=max_range)
 
     # x_body = R^T (x_world - pos):  x1 = R1^T (x0 + pos0 - pos1)
     c, s = np.cos(yaw), np.sin(yaw)
@@ -149,8 +157,10 @@ def synthetic_pair(
     t_gt[:3, :3] = r1.T
     t_gt[:3, 3] = r1.T @ (pos0 - pos1)
 
-    apc0 = _sample_view(scene, pos0, 0.0, rng, apc_points)
-    apc1 = _sample_view(scene, pos1, yaw, rng, apc_points)
+    apc0 = _sample_view(scene, pos0, 0.0, rng, apc_points,
+                        max_range=max_range)
+    apc1 = _sample_view(scene, pos1, yaw, rng, apc_points,
+                        max_range=max_range)
     return dict(points0=p0, points1=p1, t_gt=t_gt, apc0=apc0, apc1=apc1)
 
 

@@ -40,6 +40,8 @@ def main():
                     help="also print per-stage accounting to stderr")
     ap.add_argument("--predator", action="store_true",
                     help="bench the Predator eval pipeline instead of FCGF")
+    ap.add_argument("--group", type=int, default=4,
+                    help="pairs per jit step (FCGF pipeline)")
     args = ap.parse_args()
 
     import jax
@@ -89,9 +91,10 @@ def main():
            jnp.asarray(pair["t_gt"]))
 
     c = cfg
-    GROUP = 4  # pairs per jit step: the encoder's gathers are op-overhead
-    # bound on TPU (batch 4 costs ~the same as batch 1 — docs/PERF.md), so
-    # production eval batches pairs; the scan measures grouped throughput
+    GROUP = args.group  # pairs per jit step: the encoder's gathers are
+    # op-overhead bound on TPU (batch 4 costs ~the same as batch 1 —
+    # docs/PERF.md), so production eval batches pairs; the scan measures
+    # grouped throughput
 
     def one_group(key, pts0, mask0, pts1, mask1, t_gt):
         # key-dependent jitter on BOTH clouds of EVERY group member defeats

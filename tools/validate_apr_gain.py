@@ -66,7 +66,8 @@ def make_config(loss_ratio):
     )
 
 
-def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs):
+def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
+            extent, max_range):
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +81,8 @@ def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs):
         cols = [[] for _ in range(9)]
         for s, dist in seed_dist_pairs:
             d = synthetic_pair(s, n_points=7000, apc_points=7000,
-                               distance=dist, extent=30.0)
+                               distance=dist, extent=extent,
+                               max_range=max_range)
             vals = [*pad_points(d["points0"], cfg.point_capacity),
                     *pad_points(d["points1"], cfg.point_capacity),
                     *pad_points(d["apc0"], cfg.apc_capacity),
@@ -142,10 +144,16 @@ def main():
     ap.add_argument("--pool_pairs", type=int, default=96,
                     help="distinct training scenes (2 per batch)")
     ap.add_argument("--train_dists", default="6,10,14,18")
-    ap.add_argument("--eval_dists", default="12,25,32")
+    ap.add_argument("--eval_dists", default="12,40,48,56")
     ap.add_argument("--eval_points", type=int, default=7000,
                     help="points per eval cloud (sparser = harder; the "
                          "LoKITTI failure mode is sparse overlap evidence)")
+    ap.add_argument("--extent", type=float, default=60.0,
+                    help="scene radius (m)")
+    ap.add_argument("--max_range", type=float, default=35.0,
+                    help="sensor visibility radius (m); < extent + distance "
+                         "gives distant pairs a shrinking lens-shaped "
+                         "overlap, the real LoKITTI difficulty")
     ap.add_argument("--arms", default="apr,baseline",
                     help="subset of arms to run (apr | baseline)")
     args = ap.parse_args()
@@ -158,7 +166,8 @@ def main():
     # held-out scenes (seeds disjoint from training), shared across arms
     eval_sets = {
         dist: [synthetic_pair(1000 + 100 * di + s, n_points=args.eval_points,
-                              apc_points=4, distance=dist, extent=30.0)
+                              apc_points=4, distance=dist, extent=args.extent,
+                              max_range=args.max_range)
                for s in range(args.eval_pairs)]
         for di, dist in enumerate(eval_dists)
     }
@@ -170,7 +179,8 @@ def main():
               f"train_dists={train_dists} eval_dists={eval_dists}",
               flush=True)
         arms[label] = run_arm(label, make_config(ratio), train_dists,
-                              eval_sets, args.steps, args.pool_pairs)
+                              eval_sets, args.steps, args.pool_pairs,
+                              args.extent, args.max_range)
 
     if {"apr", "baseline"} <= set(arms):
         for dist in eval_dists:
