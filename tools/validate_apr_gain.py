@@ -67,7 +67,7 @@ def make_config(loss_ratio):
 
 
 def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
-            extent, max_range):
+            extent, max_range, seed0=0):
     import jax
     import jax.numpy as jnp
 
@@ -103,18 +103,19 @@ def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
     # encoder can memorize vs. generalize.
     n_batches = max(pool_pairs // 2, 1)
     train_batches = [
-        build([(2 * i, train_dists[(2 * i) % len(train_dists)]),
-               (2 * i + 1, train_dists[(2 * i + 1) % len(train_dists)])])
+        build([(seed0 + 2 * i, train_dists[(2 * i) % len(train_dists)]),
+               (seed0 + 2 * i + 1,
+                train_dists[(2 * i + 1) % len(train_dists)])])
         for i in range(n_batches)
     ]
-    state = trainer.init_state(jax.random.PRNGKey(0), train_batches[0])
+    state = trainer.init_state(jax.random.PRNGKey(seed0), train_batches[0])
 
     t0 = time.time()
     steps_per_epoch = 25
     for step in range(steps):
         if step % steps_per_epoch == 0:
             state = trainer.set_lr(state, step // steps_per_epoch)
-        key = jax.random.PRNGKey(step)
+        key = jax.random.PRNGKey(seed0 + step)
         state, metrics = trainer.train_step(
             state, train_batches[step % len(train_batches)], key)
         if (step + 1) % 100 == 0:
@@ -156,6 +157,11 @@ def main():
                          "overlap, the real LoKITTI difficulty")
     ap.add_argument("--arms", default="apr,baseline",
                     help="subset of arms to run (apr | baseline)")
+    ap.add_argument("--seed0", type=int, default=0,
+                    help="training seed offset for independent repetitions "
+                         "(keep < 800: eval scenes use seeds 1000+ and must "
+                         "stay disjoint); eval sets are seed0-independent so "
+                         "repetitions form paired comparisons")
     args = ap.parse_args()
 
     from apr_tpu.data.synthetic import synthetic_pair
@@ -180,7 +186,7 @@ def main():
               flush=True)
         arms[label] = run_arm(label, make_config(ratio), train_dists,
                               eval_sets, args.steps, args.pool_pairs,
-                              args.extent, args.max_range)
+                              args.extent, args.max_range, seed0=args.seed0)
 
     if {"apr", "baseline"} <= set(arms):
         for dist in eval_dists:
