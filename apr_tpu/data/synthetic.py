@@ -110,6 +110,64 @@ def _sample_view(
     return (pts @ rot).astype(np.float32)  # pts @ R == R^T x per point
 
 
+def _multiview_apc(
+    scene: np.ndarray,
+    key_pos: np.ndarray,
+    key_yaw: float,
+    travel_dir: np.ndarray,
+    rng: np.random.Generator,
+    apc_points: int,
+    max_range: float,
+    complement_dist: float,
+    frames_one_side: int,
+) -> np.ndarray:
+    """APC with true multi-viewpoint structure, mirroring the reference's APG
+    (FCGF_APR/lib/complement_data_loader.py:518-632): complement frames are
+    rendered from sensor origins shifted ``complement_dist * (i+1)`` along the
+    travel direction on BOTH sides of the key frame, each with its own
+    visibility culling + range thinning, registered into the key frame's
+    body coordinates, concatenated, and cropped to the key frame's radius.
+
+    Regions far from the key sensor are sparse in the key scan (thinning
+    ~ 1/r) but densely observed by the complement frame parked next to them —
+    so a decoder reconstructing this APC from key-frame features must
+    hallucinate geometry the key scan barely sees, exactly the recipe's
+    "dense geometry from sparse evidence" pressure.  Same-viewpoint
+    densification (the pre-round-4 behavior, kept for
+    ``complement_dist=0``) carries no such occluded structure.
+    """
+    n_frames = 2 * frames_one_side
+    per_frame = max(apc_points // n_frames * 2, 1)
+    c, s = np.cos(key_yaw), np.sin(key_yaw)
+    r_key = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    chunks = []
+    for side in (-1.0, 1.0):
+        for i in range(frames_one_side):
+            pos_c = key_pos + travel_dir * (side * complement_dist * (i + 1))
+            pos_c = pos_c + np.array(
+                [0, 0, rng.uniform(-0.2, 0.2)], np.float32)
+            # world-frame visible points from this complement origin
+            rel = scene - pos_c[None, :]
+            r = np.linalg.norm(rel, axis=1)
+            pts = scene[r < max_range]
+            rr = np.maximum(
+                np.linalg.norm(pts[:, :2] - pos_c[None, :2], axis=1), 2.0)
+            p_keep = np.clip(12.0 / rr, 0.05, 1.0)
+            pts = pts[rng.uniform(size=len(pts)) < p_keep]
+            pts = pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
+            if len(pts) > per_frame:
+                pts = pts[rng.choice(len(pts), per_frame, replace=False)]
+            chunks.append(pts)
+    apc_world = np.concatenate(chunks).astype(np.float32)
+    # register into the key body frame, crop to the key frame's radius
+    # (reference crop: complement_data_loader.py:623-628)
+    apc = (apc_world - key_pos[None, :]) @ r_key
+    apc = apc[np.linalg.norm(apc, axis=1) < max_range]
+    if len(apc) > apc_points:
+        apc = apc[rng.choice(len(apc), apc_points, replace=False)]
+    return apc.astype(np.float32)
+
+
 def synthetic_pair(
     seed: int = 0,
     n_points: int = 30000,
@@ -117,6 +175,8 @@ def synthetic_pair(
     apc_points: int = 60000,
     extent: float = 60.0,
     max_range: float = 80.0,
+    apc_complement_dist: float = 0.0,
+    apc_frames_one_side: int = 3,
 ):
     """A distant pair + APC targets with exact ground truth.
 
@@ -131,6 +191,12 @@ def synthetic_pair(
     low-overlap structure that makes real distant pairs hard (LoKITTI pairs
     at 40-50 m overlap by well under half a scan,
     FCGF_APR/config/file_LoKITTI_50.npy).
+
+    ``apc_complement_dist > 0`` switches the APC targets from same-viewpoint
+    densification to true multi-viewpoint aggregation (see
+    :func:`_multiview_apc`), matching the reference's complement-frame
+    spacing knob ``complement_pair_dist`` ×
+    ``num_complement_one_side`` (FCGF_APR/scripts/train_apr_kitti.sh:21-22).
     """
     rng = np.random.default_rng(seed)
     scene = _scene_surface_points(
@@ -141,11 +207,9 @@ def synthetic_pair(
     yaw = float(rng.uniform(-0.3, 0.3))
     pos0 = np.array([0.0, 0.0, 1.8], np.float32)
     d_ang = rng.uniform(0, 2 * np.pi)
-    pos1 = pos0 + np.array(
-        [distance * np.cos(d_ang), distance * np.sin(d_ang),
-         rng.uniform(-0.2, 0.2)],
-        np.float32,
-    )
+    travel = np.array([np.cos(d_ang), np.sin(d_ang), 0.0], np.float32)
+    pos1 = pos0 + travel * distance + np.array(
+        [0.0, 0.0, rng.uniform(-0.2, 0.2)], np.float32)
 
     p0 = _sample_view(scene, pos0, 0.0, rng, n_points, max_range=max_range)
     p1 = _sample_view(scene, pos1, yaw, rng, n_points, max_range=max_range)
@@ -157,10 +221,18 @@ def synthetic_pair(
     t_gt[:3, :3] = r1.T
     t_gt[:3, 3] = r1.T @ (pos0 - pos1)
 
-    apc0 = _sample_view(scene, pos0, 0.0, rng, apc_points,
-                        max_range=max_range)
-    apc1 = _sample_view(scene, pos1, yaw, rng, apc_points,
-                        max_range=max_range)
+    if apc_complement_dist > 0:
+        apc0 = _multiview_apc(scene, pos0, 0.0, travel, rng, apc_points,
+                              max_range, apc_complement_dist,
+                              apc_frames_one_side)
+        apc1 = _multiview_apc(scene, pos1, yaw, travel, rng, apc_points,
+                              max_range, apc_complement_dist,
+                              apc_frames_one_side)
+    else:
+        apc0 = _sample_view(scene, pos0, 0.0, rng, apc_points,
+                            max_range=max_range)
+        apc1 = _sample_view(scene, pos1, yaw, rng, apc_points,
+                            max_range=max_range)
     return dict(points0=p0, points1=p1, t_gt=t_gt, apc0=apc0, apc1=apc1)
 
 

@@ -20,16 +20,29 @@ RANSAC, RTE<2 m ∧ RRE<5°) on held-out pairs at distances BEYOND the training
 range — the LoKITTI pattern (train 5-20 m, test 40-50 m,
 FCGF_APR/scripts/train_apr_kitti.sh:23 + file_LoKITTI_50.npy).
 
+APC targets are multi-viewpoint by default (``--apc_complement_dist 10``):
+complement frames rendered from shifted sensor origins with visibility
+culling, registered + cropped into the key frame — the reference's APG
+structure (complement_data_loader.py:518-632), NOT same-viewpoint
+densification.
+
     python tools/validate_apr_gain.py [--steps 1500] [--eval_pairs 24]
         [--pool_pairs 96] [--train_dists 6,10,14,18] [--eval_dists 12,25,32]
+        [--seeds 5]
 
 The in-range 12 m eval set is the control: the paper's claim is that the
 gain concentrates on the distant (out-of-range) sets.
 
-Prints one RESULT line per arm plus the recall delta.
+Analysis is PAIRED: both arms are evaluated on identical pair lists, so the
+per-distance verdict uses discordant-pair counts and an exact McNemar
+binomial test pooled over the ``--seeds`` repetitions (each repetition = a
+disjoint training-scene pool via internally strided seeds; eval pairs are
+shared across repetitions, so pooling is stratified by repetition).
+Prints one RESULT line per arm per repetition plus pooled PAIRED lines.
 """
 
 import argparse
+import math
 import os
 import sys
 import time
@@ -37,6 +50,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+EVAL_SEED_BASE = 1000  # eval scene seeds live at 1000+; train seeds must stay below
 
 
 def make_config(loss_ratio):
@@ -67,7 +82,7 @@ def make_config(loss_ratio):
 
 
 def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
-            extent, max_range, seed0=0):
+            extent, max_range, apc_complement_dist, seed0=0):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +97,8 @@ def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
         for s, dist in seed_dist_pairs:
             d = synthetic_pair(s, n_points=7000, apc_points=7000,
                                distance=dist, extent=extent,
-                               max_range=max_range)
+                               max_range=max_range,
+                               apc_complement_dist=apc_complement_dist)
             vals = [*pad_points(d["points0"], cfg.point_capacity),
                     *pad_points(d["points1"], cfg.point_capacity),
                     *pad_points(d["apc0"], cfg.apc_capacity),
@@ -100,26 +116,38 @@ def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
     # pool_pairs training pairs, two per batch, distances cycling through
     # the training range — identical seeds in both arms.  Each scene is
     # fresh geometry (seeded), so the pool size controls how much the
-    # encoder can memorize vs. generalize.
+    # encoder can memorize vs. generalize.  Scene seeds are strided by
+    # seed0 * pool_pairs so consecutive seed0 values draw fully DISJOINT
+    # scene pools (repetitions would otherwise share pool_pairs - 1 scenes
+    # and be near-duplicates).
+    scene_base = seed0 * pool_pairs
+    assert scene_base + pool_pairs <= EVAL_SEED_BASE, (
+        f"training scene seeds [{scene_base}, {scene_base + pool_pairs}) "
+        f"would overlap the eval seed range ({EVAL_SEED_BASE}+): lower "
+        f"--seed0 or --pool_pairs")
     n_batches = max(pool_pairs // 2, 1)
     train_batches = [
-        build([(seed0 + 2 * i, train_dists[(2 * i) % len(train_dists)]),
-               (seed0 + 2 * i + 1,
+        build([(scene_base + 2 * i, train_dists[(2 * i) % len(train_dists)]),
+               (scene_base + 2 * i + 1,
                 train_dists[(2 * i + 1) % len(train_dists)])])
         for i in range(n_batches)
     ]
-    state = trainer.init_state(jax.random.PRNGKey(seed0), train_batches[0])
+    # distinct streams for init vs per-step sampling randomness: fold_in
+    # never collides with any step key (steps fold in step + 1 >= 1)
+    root_key = jax.random.PRNGKey(seed0)
+    state = trainer.init_state(jax.random.fold_in(root_key, 0),
+                               train_batches[0])
 
     t0 = time.time()
     steps_per_epoch = 25
     for step in range(steps):
         if step % steps_per_epoch == 0:
             state = trainer.set_lr(state, step // steps_per_epoch)
-        key = jax.random.PRNGKey(seed0 + step)
+        key = jax.random.fold_in(root_key, step + 1)
         state, metrics = trainer.train_step(
             state, train_batches[step % len(train_batches)], key)
         if (step + 1) % 100 == 0:
-            print(f"# [{label}] step {step + 1}: "
+            print(f"# [{label} seed0={seed0}] step {step + 1}: "
                   f"loss={float(metrics['loss']):.4f} "
                   f"chamfer={float(metrics.get('chamfer_loss', 0.0)):.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
@@ -129,13 +157,36 @@ def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
     for dist, pairs in eval_sets.items():
         stats = tester.test(pairs, pipelined=False)
         s = stats.summary()
-        results[dist] = s
-        print(f"RESULT arm={label} eval_dist={dist} "
+        results[dist] = {
+            "summary": s,
+            "success": np.asarray(stats.success, dtype=bool),
+        }
+        print(f"RESULT arm={label} seed0={seed0} eval_dist={dist} "
               f"recall={s['recall']:.3f} "
               f"rte_mean={s.get('rte_mean', float('nan')):.3f} "
               f"rre_mean={s.get('rre_mean', float('nan')):.3f} "
               f"n={s['n_pairs']}", flush=True)
     return results
+
+
+def mcnemar_exact_p(n01: int, n10: int) -> float:
+    """Two-sided exact McNemar test: under H0 the n01+n10 discordant pairs
+    split Binomial(n, 1/2); p = 2 * P(X <= min(n01, n10)), capped at 1."""
+    n = n01 + n10
+    if n == 0:
+        return 1.0
+    k = min(n01, n10)
+    cdf = sum(math.comb(n, i) for i in range(k + 1)) / (2.0 ** n)
+    return min(1.0, 2.0 * cdf)
+
+
+def paired_delta_ci(n01: int, n10: int, n: int, z: float = 1.96):
+    """Wald CI for the paired recall difference (n10 - n01) / n."""
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    d = (n10 - n01) / n
+    se = math.sqrt(max(n01 + n10 - (n10 - n01) ** 2 / n, 0.0)) / n
+    return d, d - z * se, d + z * se
 
 
 def main():
@@ -155,13 +206,22 @@ def main():
                     help="sensor visibility radius (m); < extent + distance "
                          "gives distant pairs a shrinking lens-shaped "
                          "overlap, the real LoKITTI difficulty")
+    ap.add_argument("--apc_complement_dist", type=float, default=10.0,
+                    help="complement-frame spacing for multi-viewpoint APC "
+                         "targets (reference complement_pair_dist, "
+                         "train_apr_kitti.sh:21); 0 = legacy same-viewpoint "
+                         "densification")
     ap.add_argument("--arms", default="apr,baseline",
                     help="subset of arms to run (apr | baseline)")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent repetitions seed0..seed0+seeds-1, "
+                         "each with a disjoint training-scene pool; pooled "
+                         "paired analysis printed at the end")
     ap.add_argument("--seed0", type=int, default=0,
-                    help="training seed offset for independent repetitions "
-                         "(keep < 800: eval scenes use seeds 1000+ and must "
-                         "stay disjoint); eval sets are seed0-independent so "
-                         "repetitions form paired comparisons")
+                    help="first repetition index; training scene seeds are "
+                         "strided internally (seed0 * pool_pairs) so "
+                         "consecutive values give disjoint pools, and an "
+                         "assert enforces disjointness from the eval range")
     args = ap.parse_args()
 
     from apr_tpu.data.synthetic import synthetic_pair
@@ -169,31 +229,53 @@ def main():
     train_dists = [float(x) for x in args.train_dists.split(",")]
     eval_dists = [float(x) for x in args.eval_dists.split(",")]
 
-    # held-out scenes (seeds disjoint from training), shared across arms
+    # held-out scenes (seeds disjoint from training), shared across arms AND
+    # across repetitions — identical pair lists make the analysis paired
     eval_sets = {
-        dist: [synthetic_pair(1000 + 100 * di + s, n_points=args.eval_points,
+        dist: [synthetic_pair(EVAL_SEED_BASE + 100 * di + s,
+                              n_points=args.eval_points,
                               apc_points=4, distance=dist, extent=args.extent,
                               max_range=args.max_range)
                for s in range(args.eval_pairs)]
         for di, dist in enumerate(eval_dists)
     }
 
-    arms = {}
-    for label in args.arms.split(","):
-        ratio = 2e-3 if label == "apr" else 0.0
-        print(f"# arm={label} loss_ratio={ratio} steps={args.steps} "
-              f"train_dists={train_dists} eval_dists={eval_dists}",
-              flush=True)
-        arms[label] = run_arm(label, make_config(ratio), train_dists,
-                              eval_sets, args.steps, args.pool_pairs,
-                              args.extent, args.max_range, seed0=args.seed0)
+    arm_labels = args.arms.split(",")
+    # per arm per dist: list over repetitions of per-pair success vectors
+    outcomes = {lab: {d: [] for d in eval_dists} for lab in arm_labels}
+    for rep in range(args.seeds):
+        seed0 = args.seed0 + rep
+        for label in arm_labels:
+            ratio = 2e-3 if label == "apr" else 0.0
+            print(f"# arm={label} seed0={seed0} loss_ratio={ratio} "
+                  f"steps={args.steps} train_dists={train_dists} "
+                  f"eval_dists={eval_dists} "
+                  f"apc_complement_dist={args.apc_complement_dist}",
+                  flush=True)
+            res = run_arm(label, make_config(ratio), train_dists,
+                          eval_sets, args.steps, args.pool_pairs,
+                          args.extent, args.max_range,
+                          args.apc_complement_dist, seed0=seed0)
+            for d in eval_dists:
+                outcomes[label][d].append(res[d]["success"])
 
-    if {"apr", "baseline"} <= set(arms):
+    if {"apr", "baseline"} <= set(arm_labels):
+        print(f"# paired pooled analysis over {args.seeds} repetition(s), "
+              f"n = seeds x eval_pairs per distance", flush=True)
         for dist in eval_dists:
-            da = arms["apr"][dist]["recall"]
-            db = arms["baseline"][dist]["recall"]
-            print(f"DELTA eval_dist={dist} apr={da:.3f} baseline={db:.3f} "
-                  f"gain={da - db:+.3f}", flush=True)
+            a = np.concatenate(outcomes["apr"][dist])
+            b = np.concatenate(outcomes["baseline"][dist])
+            assert a.shape == b.shape
+            n = len(a)
+            n10 = int(np.sum(a & ~b))   # apr succeeded, baseline failed
+            n01 = int(np.sum(~a & b))   # baseline succeeded, apr failed
+            d, lo, hi = paired_delta_ci(n01, n10, n)
+            p = mcnemar_exact_p(n01, n10)
+            print(f"PAIRED eval_dist={dist} apr={a.mean():.3f} "
+                  f"baseline={b.mean():.3f} delta={d:+.3f} "
+                  f"ci95=[{lo:+.3f},{hi:+.3f}] "
+                  f"discordant={n10}/{n01} (apr-only/baseline-only) "
+                  f"mcnemar_p={p:.4f} n={n}", flush=True)
 
 
 if __name__ == "__main__":
