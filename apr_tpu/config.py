@@ -161,6 +161,11 @@ class APRConfig:
     # --- eval ---
     test_num_ransac_hypotheses: int = 32768
     test_ransac_dist_thresh: Optional[float] = None  # default: voxel_size
+    # confidence-style escalation (analog of Open3D's adaptive criteria,
+    # FCGF_APR/scripts/test_apr.py:150-155): when the best hypothesis has
+    # < min_inliers inliers, re-run with factor x more hypotheses in-program
+    test_ransac_escalation_factor: int = 0
+    test_ransac_escalation_min_inliers: int = 30
     test_subsample: int = 5000
     rte_thresh: float = 2.0
     rre_thresh: float = 5.0

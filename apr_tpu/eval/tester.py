@@ -126,6 +126,8 @@ class FeatureTester:
                 distance_threshold=thresh,
                 ransac_n=4,
                 num_hypotheses=c.test_num_ransac_hypotheses,
+                escalation_factor=c.test_ransac_escalation_factor,
+                escalation_min_inliers=c.test_ransac_escalation_min_inliers,
             )
             rte, rre = registration_errors(res.transform, t_gt)
             return res.transform, rte, rre, res.fitness

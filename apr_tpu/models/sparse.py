@@ -173,9 +173,25 @@ def _zrun_maps(
     t0 = jnp.stack(t0s)          # [G, C] first-target key per column
     ok = jnp.stack(oks)          # [G, C]
 
-    j0 = jnp.searchsorted(
-        support_keys, t0.reshape(-1), method="sort"
-    ).astype(jnp.int32).reshape(len(xy), c)
+    # Each row of t0 is base_keys + const (sorted where ok, INVALID holes),
+    # and support_keys is sorted — a merge, not a sort.  On TPU the Pallas
+    # merge-path kernel exploits that (docs/PERF.md round-4 "sort floor"
+    # study, 1.5-3x); XLA's method='sort' re-sorts support+queries and is
+    # the fallback elsewhere (Pallas CPU = interpret mode, far slower than
+    # the XLA sort).  platform_dependent picks per LOWERING platform, so
+    # jit-for-CPU on a TPU host (tests, jax.default_device) stays correct.
+    def _j0_sort(sk, t):
+        return jnp.searchsorted(
+            sk, t.reshape(-1), method="sort"
+        ).astype(jnp.int32).reshape(len(xy), c)
+
+    if c % 128 == 0 and s % 128 == 0 and s <= 16384:
+        from apr_tpu.ops.pallas.searchsorted import searchsorted_left
+
+        j0 = jax.lax.platform_dependent(
+            support_keys, t0, tpu=searchsorted_left, default=_j0_sort)
+    else:
+        j0 = _j0_sort(support_keys, t0)
 
     # decode all groups by gathering each window [j0, j0+k) as ONE ROW of a
     # precomputed [S, k] shifted-keys matrix: G*C row gathers instead of

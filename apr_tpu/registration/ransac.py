@@ -54,7 +54,8 @@ def _edge_length_ok(src, tgt, similarity: float) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("ransac_n", "num_hypotheses", "hypothesis_chunk"),
+    static_argnames=("ransac_n", "num_hypotheses", "hypothesis_chunk",
+                     "escalation_factor", "escalation_min_inliers"),
 )
 def ransac_pose(
     key: jax.Array,
@@ -66,12 +67,25 @@ def ransac_pose(
     num_hypotheses: int = 32768,
     edge_length_similarity: float = 0.9,
     hypothesis_chunk: int = 1024,
+    escalation_factor: int = 0,
+    escalation_min_inliers: int = 30,
 ) -> RansacResult:
     """RANSAC over a matched correspondence set.
 
     src_xyz/tgt_xyz: [M, 3] matched pairs (src_xyz[i] corresponds to
     tgt_xyz[i]); corr_mask: [M] validity.  Returns the best rigid transform
     mapping src -> tgt.
+
+    ``escalation_factor > 0`` adds a confidence-style second stage — the
+    fixed-batch analog of Open3D's adaptive ``RANSACConvergenceCriteria``
+    (4M trials / 10k confidence, reference FCGF_APR/scripts/test_apr.py:
+    150-155): when the first stage's best hypothesis has fewer than
+    ``escalation_min_inliers`` inliers (the low-inlier-ratio regime where a
+    fixed 32k batch can miss an all-inlier n-tuple), a ``lax.cond`` branch
+    evaluates ``escalation_factor * num_hypotheses`` additional hypotheses
+    inside the same program and keeps the overall best.  Easy pairs never
+    pay for the escalated stage (under ``vmap`` the cond becomes a select
+    and both branches run — use per-pair dispatch when escalating).
     """
     m = src_xyz.shape[0]
     hypothesis_chunk = min(hypothesis_chunk, num_hypotheses)
@@ -86,11 +100,6 @@ def ransac_pose(
         corr_mask, jnp.arange(m, dtype=jnp.int32), m
     )
     valid_sorted = jnp.sort(valid_idx)  # valid first, m-sentinels last
-    draws = jax.random.randint(
-        key, (num_hypotheses, ransac_n), 0, jnp.maximum(n_valid, 1)
-    )
-    samples = valid_sorted[draws]  # [H, n] indices into correspondence set
-    samples = jnp.minimum(samples, m - 1)
 
     thr2 = distance_threshold * distance_threshold
     cw = corr_mask.astype(src_xyz.dtype)
@@ -147,12 +156,41 @@ def ransac_pose(
         best = jnp.argmax(score)
         return score[best], transforms[best]
 
-    chunks = samples.reshape(
-        num_hypotheses // hypothesis_chunk, hypothesis_chunk, ransac_n
-    )
-    scores, transforms = jax.lax.map(eval_chunk, chunks)
-    best = jnp.argmax(scores)
-    best_t = transforms[best]
+    def run_stage(stage_key, n_hyp):
+        draws = jax.random.randint(
+            stage_key, (n_hyp, ransac_n), 0, jnp.maximum(n_valid, 1)
+        )
+        samples = jnp.minimum(valid_sorted[draws], m - 1)  # [H, n]
+        chunks = samples.reshape(
+            n_hyp // hypothesis_chunk, hypothesis_chunk, ransac_n
+        )
+        scores, transforms = jax.lax.map(eval_chunk, chunks)
+        b = jnp.argmax(scores)
+        return scores[b], transforms[b]
+
+    k_stage1, k_stage2 = jax.random.split(key)
+    best_score, best_t = run_stage(k_stage1, num_hypotheses)
+
+    if escalation_factor > 0:
+        n_esc = max(
+            (escalation_factor * num_hypotheses) // hypothesis_chunk, 1
+        ) * hypothesis_chunk
+
+        def escalate(op):
+            s0, t0 = op
+            s1, t1 = run_stage(k_stage2, n_esc)
+            better = s1 > s0
+            return jnp.where(better, s1, s0), jnp.where(better, t1, t0)
+
+        # score = n_inl - rmse/(rmse+1) with the penalty in [0, 1), so
+        # score < k  <=>  best inlier count <= k (boundary-exact for the
+        # integer thresholds used here)
+        best_score, best_t = jax.lax.cond(
+            best_score < escalation_min_inliers,
+            escalate,
+            lambda op: op,
+            (best_score, best_t),
+        )
 
     # local refinement: weighted Kabsch on the best hypothesis' inliers
     def refine(t, _):

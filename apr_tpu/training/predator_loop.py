@@ -167,6 +167,11 @@ def run_predator_training(config: APRConfig,
             for name, v in pending.items():
                 meters.setdefault(name, AverageMeter()).update(float(v))
 
+        if meters:  # epoch-level train scalars (loop.py parity; without
+            # this a 1-step epoch under stat_freq deferral logs nothing)
+            metrics_log.write("train_epoch", epoch,
+                             {k_: mt.avg for k_, mt in meters.items()})
+
         # validation: full groups run the sharded program; the ragged tail
         # runs per pair (repetition-padding would bias the averages)
         vmeters: Dict[str, AverageMeter] = {}

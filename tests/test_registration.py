@@ -196,3 +196,43 @@ def test_gt_correspondences_dense_slab(rng):
         radius=0.45, cap_per_point=1)
     assert bool(np.asarray(corr.mask).all()), (
         f"only {int(np.asarray(corr.mask).sum())}/{n} matched")
+
+
+def test_ransac_escalation(rng, jax_key):
+    """The in-program escalation stage (analog of Open3D's adaptive
+    convergence criteria, FCGF_APR/scripts/test_apr.py:150-155).
+
+    (a) with a threshold that never triggers, results are BITWISE the
+        non-escalated ones (stage 1 uses its own key split either way);
+    (b) at a 6% inlier ratio where a 256-hypothesis stage-1 whiffs, the
+        256x escalated run recovers the pose.
+    """
+    from apr_tpu.registration.ransac import ransac_pose
+
+    m, n_inl = 1000, 60
+    src = rng.uniform(-30, 30, (m, 3)).astype(np.float32)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = np.asarray(rotation_from_euler(jnp.asarray([0.3, -0.2, 0.5])))
+    t_gt[:3, 3] = [4.0, -2.0, 1.0]
+    tgt = np.array(apply_transform(jnp.asarray(src), jnp.asarray(t_gt)))
+    outl = rng.permutation(m)[n_inl:]
+    tgt[outl] = rng.uniform(-30, 30, (len(outl), 3)).astype(np.float32)
+
+    base = ransac_pose(jax_key, jnp.asarray(src), jnp.asarray(tgt),
+                       num_hypotheses=256, hypothesis_chunk=256)
+    never = ransac_pose(jax_key, jnp.asarray(src), jnp.asarray(tgt),
+                        num_hypotheses=256, hypothesis_chunk=256,
+                        escalation_factor=256, escalation_min_inliers=0)
+    np.testing.assert_array_equal(np.asarray(base.transform),
+                                  np.asarray(never.transform))
+
+    # stage 1 must fail for (b) to pin the escalated path; verified for
+    # this seed (fitness ~0 at 256 hypotheses, p_hit = 1-(1-0.06^4)^256 ~ 0.3%)
+    assert float(base.fitness) < 0.05
+
+    esc = ransac_pose(jax_key, jnp.asarray(src), jnp.asarray(tgt),
+                      num_hypotheses=256, hypothesis_chunk=256,
+                      escalation_factor=256, escalation_min_inliers=30)
+    err = np.abs(np.asarray(esc.transform) - t_gt).max()
+    assert err < 0.05, f"escalated RANSAC should recover the pose (err {err})"
+    assert float(esc.fitness) >= 0.05
