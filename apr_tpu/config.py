@@ -184,6 +184,11 @@ class APRConfig:
 
     # --- parallel ---
     num_devices: Optional[int] = None  # default: all
+    # fold batch i+1's device-side build (voxelize/pyramids/correspondences)
+    # into batch i's train-step program: one executable per iteration, no
+    # inter-program dispatch gap (the reference hides ALL prep in DataLoader
+    # workers — complement_data_loader.py:1375; dataloader.py:76)
+    fused_build: bool = True
 
     def replace(self, **kw) -> "APRConfig":
         # lists (from CLI nargs / YAML) coerce to tuples so configs stay

@@ -69,8 +69,11 @@ def prefetched(items, produce, prefetch: int = 2):
         stop.set()
 
 
-def collate_pairs(pairs: Sequence[dict], config: APRConfig) -> PairBatch:
-    """Pad a list of pair dicts into one device batch."""
+def collate_raw(pairs: Sequence[dict], config: APRConfig):
+    """Pad a list of pair dicts into the nine stacked device arrays that
+    ``make_pair_batch`` consumes — host work only (read + pad + H2D); the
+    device-side build runs later, fused into the train step
+    (FCGFTrainer.train_step_fused)."""
     cols = [[] for _ in range(9)]
     for d in pairs:
         p0, m0 = pad_points(d["points0"], config.point_capacity)
@@ -80,7 +83,12 @@ def collate_pairs(pairs: Sequence[dict], config: APRConfig) -> PairBatch:
         for col, v in zip(cols, (p0, m0, p1, m1, a0, am0, a1, am1,
                                  d["t_gt"].astype(np.float32))):
             col.append(v)
-    arrs = [jnp.asarray(np.stack(c)) for c in cols]
+    return tuple(jnp.asarray(np.stack(c)) for c in cols)
+
+
+def collate_pairs(pairs: Sequence[dict], config: APRConfig) -> PairBatch:
+    """Pad a list of pair dicts into one device batch."""
+    arrs = collate_raw(pairs, config)
     return make_pair_batch(
         *arrs,
         voxel_size=config.voxel_size,
@@ -103,6 +111,7 @@ class PairLoader:
         seed: int = 0,
         prefetch: int = 2,
         drop_last: bool = True,
+        raw: bool = False,
     ):
         self.dataset = dataset
         self.config = config
@@ -111,6 +120,7 @@ class PairLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.raw = raw  # yield collate_raw tuples for the fused-build path
         self._epoch = 0
 
     def __len__(self):
@@ -139,6 +149,8 @@ class PairLoader:
             # with no dispatch gap between step i and build i+1
             idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
             pairs = [self.dataset.get_pair(int(i)) for i in idxs]
+            if self.raw:
+                return collate_raw(pairs, self.config)
             return collate_pairs(pairs, self.config)
 
         yield from prefetched(range(len(self)), build_batch, self.prefetch)

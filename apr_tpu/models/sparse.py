@@ -297,9 +297,21 @@ def build_pyramid(
     must equal ``grid.capacity``.
     """
     assert capacities[0] == grid.capacity, (capacities[0], grid.capacity)
-    levels: List[SparseLevel] = [
-        SparseLevel(coords=grid.coords, keys=grid.keys, mask=grid.mask)
-    ]
+    return build_pyramid_from_level(
+        SparseLevel(coords=grid.coords, keys=grid.keys, mask=grid.mask),
+        capacities, conv1_kernel_size,
+    )
+
+
+def build_pyramid_from_level(
+    level0: SparseLevel,
+    capacities: Sequence[int],
+    conv1_kernel_size: int = 5,
+) -> SparsePyramid:
+    """:func:`build_pyramid` from a bare level-0 (coords/keys/mask) — the
+    lean voxelizer (ops.voxelize.voxelize_lean) produces exactly this."""
+    assert capacities[0] == level0.keys.shape[0]
+    levels: List[SparseLevel] = [level0]
     for cap in capacities[1:]:
         levels.append(downsample_level(levels[-1], cap))
 

@@ -114,6 +114,77 @@ def voxelize(
     )
 
 
+def voxelize_lean(
+    points: jnp.ndarray,
+    voxel_size: float,
+    capacity: int,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """:func:`voxelize` minus everything the FCGF batch build never reads.
+
+    Returns ``(coords [C,3], keys [C] ascending, vox_mask [C], rep [C])`` —
+    exactly the fields ``build_pyramid`` + the representative-point gather
+    consume.  Skips the inverse point→voxel searchsorted and the
+    counts/barycenter segment-sums of the full primitive, which the
+    build-stage profile showed dominating it (tools/profile_build.py,
+    docs/PERF.md round 4).  ``rep`` is the lowest original index per voxel
+    (ME sparse_quantize 'sel' parity — the stable sort keeps the first
+    occurrence first in each run).
+    """
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    coords = jnp.floor(points / voxel_size).astype(jnp.int32)
+    keys = jnp.where(mask, pack_coords(coords), INVALID_KEY)
+    k_sorted, idx_sorted = jax.lax.sort(
+        (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    uniq, seg = unique_of_sorted(k_sorted, capacity)
+    vox_mask = uniq != INVALID_KEY
+    found = seg < capacity
+    rep = jax.ops.segment_min(
+        jnp.where(found, idx_sorted, n), seg, num_segments=capacity + 1
+    )[:capacity]
+    rep = jnp.where(vox_mask, rep, n).astype(jnp.int32)
+    return (
+        jnp.where(vox_mask[:, None], unpack_coords(uniq), 0),
+        uniq, vox_mask, rep,
+    )
+
+
+def dedup_points(
+    points: jnp.ndarray,
+    voxel_size: float,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """One representative point per occupied voxel, IN PLACE of the input
+    buffer: returns ``(points_out [N,3], keep_mask [N])`` where masked-out
+    rows are duplicates (or input padding) zeroed out.
+
+    Equivalent to ``voxelize(...cap=N...)`` + rep-gather for consumers that
+    only read (points, mask) — the APC reconstruction targets — but with
+    ZERO segment/scatter/searchsorted ops: one stable multi-operand sort
+    (key + the three coordinate planes) and a run-boundary scan.  Output
+    rows land in ascending-key order with holes at duplicate positions;
+    order is irrelevant to the masked Chamfer.  The representative is the
+    lowest-original-index member of each voxel (stable sort), matching
+    ME.sparse_quantize 'sel' (reference complement_data_loader.py:671-674).
+    Measured 97.6 → ~6 ms per 8-cloud batch at 65k capacity (v5e,
+    tools/profile_build.py).
+    """
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    coords = jnp.floor(points / voxel_size).astype(jnp.int32)
+    keys = jnp.where(mask, pack_coords(coords), INVALID_KEY)
+    ks, px, py, pz = jax.lax.sort(
+        (keys, points[:, 0], points[:, 1], points[:, 2]), num_keys=1)
+    valid = ks != INVALID_KEY
+    is_first = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    pts = jnp.stack([px, py, pz], axis=-1)
+    return jnp.where(is_first[:, None], pts, 0.0), is_first
+
+
 def unique_of_sorted(sorted_keys: jnp.ndarray, capacity: int):
     """``jnp.unique(size=capacity)`` for ALREADY-SORTED keys — a boundary
     scan instead of a fresh O(N log N) sort.

@@ -14,8 +14,12 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from apr_tpu.models.sparse import SparsePyramid, build_pyramid
-from apr_tpu.ops.voxelize import voxelize
+from apr_tpu.models.sparse import (
+    SparseLevel,
+    SparsePyramid,
+    build_pyramid_from_level,
+)
+from apr_tpu.ops.voxelize import dedup_points, voxelize_lean
 from apr_tpu.registration.matching import gt_correspondences
 
 
@@ -77,14 +81,19 @@ def make_pair_batch(
     # TPU, so one 2B-wide program costs far less than two B-wide copies and
     # halves the HLO the compiler has to chew through (docs/PERF.md).
     def one_cloud(pts, m):
-        g = voxelize(pts, voxel_size, capacities[0], m)
-        pyr = build_pyramid(g, capacities, conv1_kernel_size)
+        # lean voxelize: keys/mask/rep only — no inverse map or
+        # counts/barycenter segment-sums (tools/profile_build.py)
+        coords, keys, vmask, rep = voxelize_lean(
+            pts, voxel_size, capacities[0], m)
+        pyr = build_pyramid_from_level(
+            SparseLevel(coords=coords, keys=keys, mask=vmask),
+            capacities, conv1_kernel_size)
         # representative point per voxel (ME sparse_quantize 'sel' parity)
         n = pts.shape[0]
         xyz = jnp.where(
-            (g.rep < n)[:, None], pts[jnp.minimum(g.rep, n - 1)], 0.0
+            (rep < n)[:, None], pts[jnp.minimum(rep, n - 1)], 0.0
         )
-        return pyr, xyz, g.mask
+        return pyr, xyz, vmask
 
     b = points0.shape[0]
     pyr, xyz, gmask = jax.vmap(one_cloud)(
@@ -111,14 +120,11 @@ def make_pair_batch(
         corr = Correspondences(z, z, jnp.zeros((b, 1), bool))
 
     # voxel-dedup the APC targets (reference sel_nghb quantization,
-    # complement_data_loader.py:669-674)
+    # complement_data_loader.py:669-674) — the lean in-place dedup: the
+    # masked Chamfer reads (points, mask) only, so no compaction/inverse
+    # is needed (97.6 -> ~6 ms per 8-cloud batch, tools/profile_build.py)
     def dedup(apc, am):
-        g = voxelize(apc, voxel_size, apc.shape[0], am)
-        n = apc.shape[0]
-        pts = jnp.where(
-            (g.rep < n)[:, None], apc[jnp.minimum(g.rep, n - 1)], 0.0
-        )
-        return pts, g.mask
+        return dedup_points(apc, voxel_size, am)
 
     if apc0.shape[1] > 8:  # skip for the dummy test-time placeholders
         # same 2B fold as the pyramids: one dedup program for both sides

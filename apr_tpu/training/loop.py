@@ -75,7 +75,9 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
                  n_dev, len(devices), config.batch_size)
     train_ds = make_dataset(config, "train")
     val_ds = make_dataset(config, "val")
-    train_loader = PairLoader(train_ds, config, shuffle=True, seed=config.seed)
+    fused = bool(config.fused_build)
+    train_loader = PairLoader(train_ds, config, shuffle=True, seed=config.seed,
+                              raw=fused)
     val_loader = PairLoader(
         val_ds, config, batch_size=config.val_batch_size, shuffle=False,
         drop_last=False,
@@ -83,6 +85,8 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
 
     key = jax.random.PRNGKey(config.seed)
     sample = next(iter(train_loader))
+    if fused:
+        sample = trainer.build_batch(sample)
     state = trainer.init_state(key, sample)
     state = replicate(state, mesh)
 
@@ -123,6 +127,14 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
         # metrics AFTER dispatching step k overlaps host metric handling and
         # input assembly with device compute (no per-step sync barrier)
         pending = None
+        # fused path (config.fused_build): the loader yields RAW padded
+        # arrays; each train_step_fused program steps on the carried batch
+        # AND builds the next one — one executable per iteration, no
+        # build-vs-step dispatch gap.  The final carried batch gets its step
+        # after the loop (rebuilding its own raw as a discarded dummy so no
+        # second program needs compiling).
+        built = None
+        raw_prev = None
         while True:
             data_timer.tic()
             try:
@@ -131,11 +143,20 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
                 break
             batch = shard_batch(batch, mesh)
             data_timer.toc()
+            if fused and built is None:
+                built = trainer.build_batch(batch)
+                raw_prev = batch
+                continue
             key, k = jax.random.split(key)
             if config.profile_dir and step == config.profile_start:
                 jax.profiler.start_trace(config.profile_dir)
             step_timer.tic()
-            state, m = trainer.train_step(state, batch, k)
+            if fused:
+                state, m, built = trainer.train_step_fused(
+                    state, built, batch, k)
+                raw_prev = batch
+            else:
+                state, m = trainer.train_step(state, batch, k)
             if pending is not None:
                 for name, v in pending.items():
                     meters.setdefault(name, AverageMeter()).update(float(v))
@@ -158,6 +179,16 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
                     epoch, step, meters["loss"].avg, data_timer.avg,
                     step_timer.avg,
                 )
+        if fused and built is not None:
+            key, k = jax.random.split(key)
+            step_timer.tic()
+            state, m, _ = trainer.train_step_fused(state, built, raw_prev, k)
+            if pending is not None:
+                for name, v in pending.items():
+                    meters.setdefault(name, AverageMeter()).update(float(v))
+            pending = m
+            step_timer.toc()
+            step += 1
         if pending is not None:
             for name, v in pending.items():
                 meters.setdefault(name, AverageMeter()).update(float(v))

@@ -81,20 +81,13 @@ def make_kp_pair_batch(
         mask0=pyr0.levels[0].mask, mask1=pyr1.levels[0].mask,
     )
 
-    # voxel-dedup APC targets (kitti.py voxelizes nghb clouds too)
+    # voxel-dedup APC targets (kitti.py voxelizes nghb clouds too) — the
+    # lean in-place dedup: the masked Chamfer reads (points, mask) only
     if apc0.shape[0] > 8:
-        from apr_tpu.ops.voxelize import voxelize
+        from apr_tpu.ops.voxelize import dedup_points
 
-        def dedup(apc, am):
-            g = voxelize(apc, first_subsampling_dl, apc.shape[0], am)
-            n = apc.shape[0]
-            pts = jnp.where(
-                (g.rep < n)[:, None], apc[jnp.minimum(g.rep, n - 1)], 0.0
-            )
-            return pts, g.mask
-
-        apc0, apc0_mask = dedup(apc0, apc0_mask)
-        apc1, apc1_mask = dedup(apc1, apc1_mask)
+        apc0, apc0_mask = dedup_points(apc0, first_subsampling_dl, apc0_mask)
+        apc1, apc1_mask = dedup_points(apc1, first_subsampling_dl, apc1_mask)
 
     return KPPairBatch(
         pyr0=pyr0, pyr1=pyr1,
@@ -398,6 +391,37 @@ class PredatorTrainer:
           pair_weights)
         return self._finite_gated_update(state, loss, grads, new_stats,
                                          metrics)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step_batched_fused(self, state: TrainState, batch: KPPairBatch,
+                                 keys, w_saliency, raw_next,
+                                 pair_weights=None):
+        """train_step_batched on ``batch`` + the NEXT group's device-side
+        pyramid/correspondence build (vmapped make_kp_pair_batch over
+        ``raw_next``'s nine stacked [B, ...] host arrays) in ONE program —
+        no inter-program dispatch gap between step i and build i+1 (the
+        reference hides prep in DataLoader workers,
+        Predator_APR/datasets/dataloader.py:76-176).  Returns
+        (new_state, metrics, next_batch)."""
+        new_state, metrics = self.train_step_batched(
+            state, batch, keys, w_saliency, pair_weights)
+        next_batch = self.build_batch_group(raw_next)
+        return new_state, metrics, next_batch
+
+    def build_batch_group(self, raw) -> KPPairBatch:
+        """Vmapped device-side pyramid/correspondence build over the nine
+        stacked [B, ...] arrays (standalone flavor of the build fused into
+        train_step_batched_fused)."""
+        c = self.config
+        build = partial(
+            make_kp_pair_batch,
+            first_subsampling_dl=c.first_subsampling_dl,
+            conv_radius=c.conv_radius,
+            capacities=tuple(c.kp_capacities),
+            neighbor_limits=tuple(c.neighborhood_limits),
+            overlap_radius=c.overlap_radius,
+        )
+        return jax.vmap(build)(*raw)
 
     @partial(jax.jit, static_argnames=("self",))
     def valid_step_batched(self, state: TrainState, batch: KPPairBatch,

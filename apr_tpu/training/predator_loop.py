@@ -34,17 +34,21 @@ from apr_tpu.utils.timer import AverageMeter, Timer
 log = logging.getLogger(__name__)
 
 
-def pair_to_kp_batch(pair, config: APRConfig):
-    import jax.numpy as jnp
-
+def pair_to_raw(pair, config: APRConfig):
+    """One pair dict -> the nine padded numpy arrays make_kp_pair_batch
+    consumes (host work only)."""
     p0, m0 = pad_points(pair["points0"], config.point_capacity)
     p1, m1 = pad_points(pair["points1"], config.point_capacity)
     a0, am0 = pad_points(pair["apc0"], config.apc_capacity)
     a1, am1 = pad_points(pair["apc1"], config.apc_capacity)
+    return (p0, m0, p1, m1, a0, am0, a1, am1,
+            pair["t_gt"].astype(np.float32))
+
+
+def pair_to_kp_batch(pair, config: APRConfig):
+    raw = pair_to_raw(pair, config)
     return make_kp_pair_batch(
-        jnp.asarray(p0), jnp.asarray(m0), jnp.asarray(p1), jnp.asarray(m1),
-        jnp.asarray(a0), jnp.asarray(am0), jnp.asarray(a1), jnp.asarray(am1),
-        jnp.asarray(pair["t_gt"]),
+        *[jnp.asarray(v) for v in raw],
         first_subsampling_dl=config.first_subsampling_dl,
         conv_radius=config.conv_radius,
         capacities=config.kp_capacities,
@@ -54,12 +58,14 @@ def pair_to_kp_batch(pair, config: APRConfig):
 
 
 def _group_iter(dataset, indices, config: APRConfig, group: int, mesh,
-                prefetch: int = 2, pad_tail: bool = True):
+                prefetch: int = 2, pad_tail: bool = True, raw: bool = False):
     """Background-thread assembly of ``group``-pair stacked batches: group
     i+1's file reads + padding + device-side pyramid builds overlap group
     i's train step (shared machinery: apr_tpu.data.pipeline.prefetched).
 
-    Yields (stacked KPPairBatch sharded over ``mesh``, n_real_pairs)."""
+    Yields (stacked KPPairBatch sharded over ``mesh``, n_real_pairs); with
+    ``raw=True`` the first element is instead the nine stacked [B, ...]
+    host arrays for the fused-build path (train_step_batched_fused)."""
     from apr_tpu.data.pipeline import prefetched
 
     indices = list(indices)
@@ -70,6 +76,12 @@ def _group_iter(dataset, indices, config: APRConfig, group: int, mesh,
     def build(idxs):
         n_real = len(idxs)
         idxs = list(idxs) + [idxs[-1]] * (group - len(idxs))
+        if raw:
+            per_raw = [pair_to_raw(dataset.get_pair(int(i)), config)
+                       for i in idxs]
+            stacked = tuple(jnp.asarray(np.stack(col))
+                            for col in zip(*per_raw))
+            return shard_batch(stacked, mesh), n_real
         per = [pair_to_kp_batch(dataset.get_pair(int(i)), config)
                for i in idxs]
         batch = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
@@ -139,22 +151,43 @@ def run_predator_training(config: APRConfig,
         # deferred metric reads: float(step k-1's metrics) AFTER dispatching
         # step k — no per-step device sync (same pattern as loop.py)
         pending = None
-        for batch, n_real in _group_iter(train_ds, order, config, n_dev,
-                                         mesh,
-                                         pad_tail=len(train_ds) <= n_dev):
-            key, k = jax.random.split(key)
-            keys = jax.random.split(k, n_dev)
-            # repetition-padded tail pairs get zero weight so they bias
-            # neither the gradients nor the logged train metrics
-            pw = jnp.where(jnp.arange(n_dev) < n_real, 1.0 / n_real, 0.0)
-            timer.tic()
-            state, m = trainer.train_step_batched(state, batch, keys,
-                                                  jnp.asarray(w_saliency),
-                                                  pw)
+        # fused path (config.fused_build): carry the built group; each
+        # train_step_batched_fused program steps on it AND builds the next
+        # group's pyramids — one executable per iteration (see loop.py)
+        fused = bool(config.fused_build)
+        built = None
+        built_pw = None
+        raw_prev = None
+
+        def flush_pending(m):
+            nonlocal pending
             if pending is not None:
                 for name, v in pending.items():
                     meters.setdefault(name, AverageMeter()).update(float(v))
             pending = m
+
+        for batch, n_real in _group_iter(train_ds, order, config, n_dev,
+                                         mesh, raw=fused,
+                                         pad_tail=len(train_ds) <= n_dev):
+            # repetition-padded tail pairs get zero weight so they bias
+            # neither the gradients nor the logged train metrics
+            pw = jnp.where(jnp.arange(n_dev) < n_real, 1.0 / n_real, 0.0)
+            if fused and built is None:
+                built = trainer.build_batch_group(batch)
+                built_pw, raw_prev = pw, batch
+                continue
+            key, k = jax.random.split(key)
+            keys = jax.random.split(k, n_dev)
+            timer.tic()
+            if fused:
+                state, m, built = trainer.train_step_batched_fused(
+                    state, built, keys, jnp.asarray(w_saliency), batch,
+                    built_pw)
+                built_pw, raw_prev = pw, batch
+            else:
+                state, m = trainer.train_step_batched(
+                    state, batch, keys, jnp.asarray(w_saliency), pw)
+            flush_pending(m)
             timer.toc()
             step += 1
             if step % config.stat_freq == 0 and meters:
@@ -163,6 +196,18 @@ def run_predator_training(config: APRConfig,
                 metrics_log.write("train", step, scalars)
                 log.info("epoch %d step %d loss %.4f (%.2fs/it)",
                          epoch, step, meters["loss"].avg, timer.avg)
+        if fused and built is not None:
+            # final carried group: step it, rebuilding its own raw as a
+            # discarded dummy (keeps a single compiled program)
+            key, k = jax.random.split(key)
+            keys = jax.random.split(k, n_dev)
+            timer.tic()
+            state, m, _ = trainer.train_step_batched_fused(
+                state, built, keys, jnp.asarray(w_saliency), raw_prev,
+                built_pw)
+            flush_pending(m)
+            timer.toc()
+            step += 1
         if pending is not None:
             for name, v in pending.items():
                 meters.setdefault(name, AverageMeter()).update(float(v))

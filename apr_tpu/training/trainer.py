@@ -414,6 +414,41 @@ class FCGFTrainer:
             metrics,
         )
 
+    def build_batch(self, raw: Tuple[jnp.ndarray, ...]) -> PairBatch:
+        """Device-side batch build from collate_raw's nine arrays (the
+        standalone flavor of the build fused into train_step_fused)."""
+        from apr_tpu.training.batching import make_pair_batch
+
+        c = self.config
+        return make_pair_batch(
+            *raw,
+            voxel_size=c.voxel_size,
+            capacities=tuple(c.capacities),
+            conv1_kernel_size=c.conv1_kernel_size,
+            corr_cap=c.corr_capacity_per_point,
+            search_multiplier=c.positive_pair_search_voxel_size_multiplier,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step_fused(self, state: TrainState, batch: PairBatch,
+                         raw_next: Tuple[jnp.ndarray, ...], key: jax.Array):
+        """train_step on ``batch`` + device-side build of the NEXT batch
+        (voxelize / pyramids / GT correspondences over ``raw_next``'s nine
+        padded host arrays) in ONE program.
+
+        The two halves share no data, so XLA schedules them in one
+        executable: the steady-state cost per iteration is build+step with
+        no inter-program dispatch gap — the TPU analog of the reference
+        hiding ALL batch prep in DataLoader worker processes
+        (FCGF_APR/lib/complement_data_loader.py:1375-1382;
+        Predator_APR/datasets/dataloader.py:76-176), where sustained ==
+        step time is the parity bar.  Returns (new_state, metrics,
+        next_batch); the loop feeds next_batch to the following call.
+        """
+        new_state, metrics = self.train_step(state, batch, key)
+        next_batch = self.build_batch(raw_next)
+        return new_state, metrics, next_batch
+
     # --- validation -----------------------------------------------------
 
     @partial(jax.jit, static_argnames=("self",))

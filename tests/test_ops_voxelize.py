@@ -188,3 +188,41 @@ def test_morton_pack_roundtrip_and_shift_identity(rng):
     # the pyramid identity: morton(c) >> 3 == morton(c >> 1), decoded at l=1
     np.testing.assert_array_equal(
         np.asarray(morton_unpack(k >> 3, level=1)), c >> 1)
+
+
+def test_voxelize_lean_matches_full(rng):
+    from apr_tpu.ops.voxelize import voxelize_lean
+
+    pts = rng.uniform(-8, 8, (500, 3)).astype(np.float32)
+    mask = rng.random(500) < 0.8
+    for cap in (256, 64):  # roomy and overflowing
+        full = voxelize(jnp.asarray(pts), 1.0, cap, jnp.asarray(mask))
+        coords, keys, vmask, rep = voxelize_lean(
+            jnp.asarray(pts), 1.0, cap, jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(keys), np.asarray(full.keys))
+        np.testing.assert_array_equal(np.asarray(vmask), np.asarray(full.mask))
+        np.testing.assert_array_equal(np.asarray(coords),
+                                      np.asarray(full.coords))
+        np.testing.assert_array_equal(np.asarray(rep), np.asarray(full.rep))
+
+
+def test_dedup_points_matches_voxelize_rep_set(rng):
+    from apr_tpu.ops.voxelize import dedup_points
+
+    pts = rng.uniform(-8, 8, (400, 3)).astype(np.float32)
+    mask = rng.random(400) < 0.9
+    out, keep = dedup_points(jnp.asarray(pts), 1.0, jnp.asarray(mask))
+    out, keep = np.asarray(out), np.asarray(keep)
+    # reference: full voxelize representative gather (capacity == N)
+    g = voxelize(jnp.asarray(pts), 1.0, 400, jnp.asarray(mask))
+    rep = np.asarray(g.rep)
+    want = pts[rep[np.asarray(g.mask)]]
+    got = out[keep]
+    assert got.shape == want.shape
+    # same SET of representative points (both pick the lowest-index member
+    # per voxel; output ordering differs: holes-in-place vs compacted)
+    got_sorted = got[np.lexsort(got.T)]
+    want_sorted = want[np.lexsort(want.T)]
+    np.testing.assert_array_equal(got_sorted, want_sorted)
+    # masked-out rows are zeroed
+    assert np.all(out[~keep] == 0.0)

@@ -156,6 +156,22 @@ def main():
             return trainer.train_step(st, b, ke)[0]
         scan_time(build_and_step, state, "sustained (batch build + step)")
 
+    if only is not None and "fused" in only:
+        # the fused-build program (train_step_fused): step on the CARRIED
+        # batch + build of the next batch in one executable — the two
+        # halves share no data, so this measures what the production loop
+        # (training/loop.py, config.fused_build) pays per iteration
+        def fused_body(carry, k):
+            st, b = carry
+            kj, ke = jax.random.split(k)
+            j = jax.random.normal(kj, batch_pts0.shape) * 1e-4
+            raw = (batch_pts0 + j, batch_m0, batch_pts1 + j, batch_m1,
+                   batch_apc0, batch_am0, batch_apc1, batch_am1, batch_tg)
+            st2, _, b2 = trainer.train_step_fused(st, b, raw, ke)
+            return (st2, b2)
+        scan_time(fused_body, (state, batch),
+                  "fused (step i + build i+1, one program)")
+
     if only is None or "nogen" in only:
         cfg_c = APRConfig(**{**cfg.__dict__,
                              "trainer": "HardestContrastiveLossTrainer"})
