@@ -121,6 +121,7 @@ def trained_run(fake_kitti_full, cpu_env, tmp_path_factory):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_train_cli_process(trained_run):
     """train.py artifacts: config.json, metrics.jsonl (train rows),
     checkpoints/ (reference FCGF_APR/train.py:29-88 surface)."""
@@ -136,6 +137,7 @@ def test_train_cli_process(trained_run):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_scripts_test_apr_process(trained_run, fake_kitti_full, cpu_env):
     """`python -m scripts.test_apr`: config.json rehydrate + CLI overrides
     + checkpoint load + results.npz (reference scripts/test_apr.py:226-260)."""
@@ -150,6 +152,7 @@ def test_scripts_test_apr_process(trained_run, fake_kitti_full, cpu_env):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_sh_launcher_process(fake_kitti_full, cpu_env, tmp_path):
     """./scripts/train_apr_kitti.sh: env-var plumbing + tee log + env.txt
     (reference FCGF_APR/scripts/train_apr_kitti.sh:10-95)."""
@@ -180,6 +183,7 @@ def test_sh_launcher_process(fake_kitti_full, cpu_env, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_main_yaml_process(fake_kitti_full, cpu_env, tmp_path):
     """`python main.py <yaml>`: Predator YAML flatten + dispatch
     (reference Predator_APR/main.py:20-121 surface)."""

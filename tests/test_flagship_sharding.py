@@ -21,7 +21,7 @@ from apr_tpu.parallel import make_mesh, replicate, shard_batch
 from apr_tpu.training import get_trainer
 from apr_tpu.training.batching import make_pair_batch
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.veryslow]
 
 N_DEV = 2
 

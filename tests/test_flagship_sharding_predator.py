@@ -23,7 +23,7 @@ from apr_tpu.config import APRConfig
 from apr_tpu.parallel import make_mesh
 from apr_tpu.training.predator import PredatorTrainer, make_kp_pair_batch
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.veryslow]
 
 N_DEV = 2
 

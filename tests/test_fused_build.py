@@ -17,7 +17,7 @@ from apr_tpu.config import APRConfig
 from apr_tpu.data.synthetic import pad_points, synthetic_pair
 from apr_tpu.training import get_trainer
 
-pytestmark = pytest.mark.slow  # full models
+pytestmark = [pytest.mark.slow, pytest.mark.veryslow]  # full models
 
 
 FCGF_CFG = APRConfig(

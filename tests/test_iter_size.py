@@ -9,6 +9,7 @@ from apr_tpu.training import get_trainer
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_iter_size_accumulates(rng):
     import sys, os
 

@@ -102,6 +102,7 @@ def kpfcnn_setup():
     return model, variables, pyr0, pyr1, d
 
 
+@pytest.mark.veryslow
 def test_kpfcnn_forward(kpfcnn_setup):
     model, variables, pyr0, pyr1, d = kpfcnn_setup
     out = model.apply(variables, pyr0, pyr1)
@@ -146,6 +147,7 @@ def test_circle_loss_orders_features(rng, jax_key):
     assert float(l_good) < float(l_bad)
 
 
+@pytest.mark.veryslow
 def test_metric_loss_full(kpfcnn_setup, jax_key):
     model, variables, pyr0, pyr1, d = kpfcnn_setup
     out = model.apply(variables, pyr0, pyr1)
@@ -267,6 +269,7 @@ def test_deformable_modulated(rng):
     assert params["offset_bias"].shape == (4 * 7,)
 
 
+@pytest.mark.veryslow
 def test_kpfcnn_deformable_forward(rng, jax_key):
     """Full KPFCNN with deformable encoder blocks runs and is finite."""
     from apr_tpu.models.kpconv import build_kp_pyramid

@@ -10,6 +10,7 @@ from apr_tpu.utils.visualization import embed_features_rgb
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_simplenet_forward(rng, jax_key):
     caps = (512, 256, 128)
     pts = rng.uniform(-6, 6, size=(400, 3)).astype(np.float32)

@@ -72,6 +72,7 @@ def test_kp_batch_correspondences(setup):
     assert n0 > 100
 
 
+@pytest.mark.veryslow
 def test_predator_train_step(setup):
     trainer, batch, state = setup
     state2, metrics = trainer.train_step(

@@ -109,6 +109,7 @@ def _tiny_trainer_and_pairs(n_pairs=2):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_predator_batched_step_matches_per_pair_mean():
     """Per-device (vmapped) loss == mean of single-pair losses, and the
     sharded batched step runs green on the 8-device CPU mesh."""
@@ -152,6 +153,7 @@ def test_predator_batched_step_matches_per_pair_mean():
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_padded_tail_pairs_contribute_zero_gradient():
     """The train loop repetition-pads ragged tail groups
     (predator_loop._group_iter) and zero-weights the pads

@@ -12,6 +12,7 @@ from apr_tpu.training import get_trainer
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_sharded_eval_matches_single(rng):
     cfg = APRConfig(
         trainer="GenerativePairTrainer", model="ResUNetBN2", model_n_out=16,
@@ -38,6 +39,7 @@ def test_sharded_eval_matches_single(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_predator_sharded_eval(rng):
     from apr_tpu.eval.predator_tester import PredatorTester
     from apr_tpu.training.predator import PredatorTrainer

@@ -185,6 +185,7 @@ def test_sparse_conv_adjoint_matches_autodiff(rng, kind):
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow
 def test_resunet_grads_finite_and_descend(rng):
     """Full ResUNet2 with the adjoint backward: finite grads, loss descends."""
     import jax

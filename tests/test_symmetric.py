@@ -18,7 +18,7 @@ from apr_tpu.data.synthetic import pad_points, synthetic_pair
 from apr_tpu.training import get_trainer, make_pair_batch
 from apr_tpu.training.predator import PredatorTrainer, make_kp_pair_batch
 
-pytestmark = pytest.mark.slow  # heavy tier: full models / train loops
+pytestmark = [pytest.mark.slow, pytest.mark.veryslow]
 
 
 FCGF_CFG = APRConfig(
