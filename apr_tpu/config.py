@@ -163,7 +163,15 @@ class APRConfig:
     test_ransac_dist_thresh: Optional[float] = None  # default: voxel_size
     # confidence-style escalation (analog of Open3D's adaptive criteria,
     # FCGF_APR/scripts/test_apr.py:150-155): when the best hypothesis has
-    # < min_inliers inliers, re-run with factor x more hypotheses in-program
+    # < min_inliers inliers, re-run with factor x more hypotheses in-program.
+    # Library default OFF: escalation fires precisely when inliers are
+    # scarce, so with untrained/garbage features it triggers on EVERY pair
+    # and multiplies eval cost 8x (measured: bench with random weights
+    # drops 14.2 -> 7.4 pairs/s).  The reference-parity eval entry points
+    # (scripts/test_apr.py, scripts/test_fcgf.py) turn it on, mirroring
+    # Open3D's adaptive criteria which the hard-end sweep shows it
+    # matches where it matters (docs/PERF.md, tools/sweep_ransac.py:
+    # fixed-32k loses the 3-8% inlier band; escalation recovers it).
     test_ransac_escalation_factor: int = 0
     test_ransac_escalation_min_inliers: int = 30
     test_subsample: int = 5000

@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--downsample_single", type=float, default=None)
     ap.add_argument("--num_pairs", type=int, default=None,
                     help="cap the number of test pairs")
+    ap.add_argument("--test_ransac_escalation_factor", type=int,
+                    default=None,
+                    help="override the adaptive-RANSAC escalation factor\n(0 disables; this entry defaults to 8)")
     args = ap.parse_args(argv)
 
     import jax
@@ -47,6 +50,12 @@ def main(argv=None):
         k: v for k, v in vars(args).items()
         if v is not None and k not in ("save_dir", "num_pairs")
     }
+    # adaptive-RANSAC analog ON at this entry (reference Open3D
+    # RANSACConvergenceCriteria adaptivity, test_apr.py:150-155; see
+    # docs/PERF.md hard-end sweep) unless the saved config pinned it
+    if (cfg.test_ransac_escalation_factor == 0
+            and "test_ransac_escalation_factor" not in overrides):
+        overrides["test_ransac_escalation_factor"] = 8
     cfg = cfg.replace(random_rotation=True, random_scale=False, **overrides)
 
     trainer = get_trainer(cfg)

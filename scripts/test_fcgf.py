@@ -44,6 +44,11 @@ def main(argv=None):
         k: v for k, v in vars(args).items()
         if v is not None and k in APRConfig.__dataclass_fields__
     }
+    # adaptive-RANSAC analog ON at this entry (reference Open3D adaptivity,
+    # test_apr.py:150-155; docs/PERF.md hard-end sweep) unless pinned
+    if (cfg.test_ransac_escalation_factor == 0
+            and "test_ransac_escalation_factor" not in overrides):
+        overrides["test_ransac_escalation_factor"] = 8
     cfg = cfg.replace(
         random_rotation=True, random_scale=False,
         test_subsample=args.num_points, **overrides,

@@ -8,6 +8,7 @@ import pytest
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow  # ~4 min: compiles the fused loop's 4 programs
 def test_run_training_synthetic(tmp_path):
     from train import config_from_args
     from apr_tpu.training.loop import run_training

@@ -191,6 +191,7 @@ def test_padded_tail_pairs_contribute_zero_gradient():
 
 
 @pytest.mark.slow
+@pytest.mark.veryslow  # ~3 min: full calibration pre-pass + training
 def test_calibrate_neighbors_wired_into_training(tmp_path, monkeypatch):
     """Reference Predator_APR/main.py:94-111 calibrates neighbor caps on the
     train set and feeds them to every loader.  When the config does not pin
