@@ -127,6 +127,16 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
         # metrics AFTER dispatching step k overlaps host metric handling and
         # input assembly with device compute (no per-step sync barrier)
         pending = None
+
+        def flush_pending(m):
+            # metrics are consumed one step late (see comment above); this
+            # flushes step k-1's metrics and defers step k's
+            nonlocal pending
+            if pending is not None:
+                for name, v in pending.items():
+                    meters.setdefault(name, AverageMeter()).update(float(v))
+            pending = m
+
         # fused path (config.fused_build): the loader yields RAW padded
         # arrays; each train_step_fused program steps on the carried batch
         # AND builds the next one — one executable per iteration, no
@@ -157,10 +167,7 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
                 raw_prev = batch
             else:
                 state, m = trainer.train_step(state, batch, k)
-            if pending is not None:
-                for name, v in pending.items():
-                    meters.setdefault(name, AverageMeter()).update(float(v))
-            pending = m
+            flush_pending(m)
             step_timer.toc()
             if (config.profile_dir
                     and step == config.profile_start + config.profile_steps):
@@ -183,15 +190,10 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
             key, k = jax.random.split(key)
             step_timer.tic()
             state, m, _ = trainer.train_step_fused(state, built, raw_prev, k)
-            if pending is not None:
-                for name, v in pending.items():
-                    meters.setdefault(name, AverageMeter()).update(float(v))
-            pending = m
+            flush_pending(m)
             step_timer.toc()
             step += 1
-        if pending is not None:
-            for name, v in pending.items():
-                meters.setdefault(name, AverageMeter()).update(float(v))
+        flush_pending(None)
 
         epoch_scalars = {k_: mt.avg for k_, mt in meters.items()}
         metrics_log.write("train_epoch", epoch, epoch_scalars)

@@ -208,9 +208,7 @@ def run_predator_training(config: APRConfig,
             flush_pending(m)
             timer.toc()
             step += 1
-        if pending is not None:
-            for name, v in pending.items():
-                meters.setdefault(name, AverageMeter()).update(float(v))
+        flush_pending(None)
 
         if meters:  # epoch-level train scalars (loop.py parity; without
             # this a 1-step epoch under stat_freq deferral logs nothing)

@@ -34,7 +34,8 @@ def main(argv=None):
                     help="cap the number of test pairs")
     ap.add_argument("--test_ransac_escalation_factor", type=int,
                     default=None,
-                    help="override the adaptive-RANSAC escalation factor\n(0 disables; this entry defaults to 8)")
+                    help="adaptive-RANSAC escalation factor "
+                         "(0 disables; this entry defaults to 8)")
     args = ap.parse_args(argv)
 
     import jax

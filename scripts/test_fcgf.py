@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--pair_max_dist", type=float, default=None)
     ap.add_argument("--num_points", type=int, default=5000)
     ap.add_argument("--num_pairs", type=int, default=None)
+    ap.add_argument("--test_ransac_escalation_factor", type=int, default=None,
+                    help="adaptive-RANSAC escalation factor "
+                         "(0 disables; this entry defaults to 8)")
     args = ap.parse_args(argv)
 
     import jax
@@ -45,7 +48,8 @@ def main(argv=None):
         if v is not None and k in APRConfig.__dataclass_fields__
     }
     # adaptive-RANSAC analog ON at this entry (reference Open3D adaptivity,
-    # test_apr.py:150-155; docs/PERF.md hard-end sweep) unless pinned
+    # test_apr.py:150-155; docs/PERF.md hard-end sweep); pass
+    # --test_ransac_escalation_factor 0 to disable
     if (cfg.test_ransac_escalation_factor == 0
             and "test_ransac_escalation_factor" not in overrides):
         overrides["test_ransac_escalation_factor"] = 8

@@ -175,3 +175,71 @@ def test_predator_fused_step_matches_separate():
     _assert_trees_equal(st_sep.params, st_fus.params)
     _assert_trees_equal(m_sep, m_fus)
     _assert_trees_equal(built_sep, built_fus)
+
+
+def test_predator_fused_loop_matches_unfused(tmp_path):
+    """run_predator_training with fused_build on/off walks identical
+    weights — covers the loop bookkeeping unique to the fused path (carried
+    built_pw pair-weights, tail step via raw_prev, deferred-metric flush)."""
+    import json
+
+    from apr_tpu.config import APRConfig
+    from apr_tpu.training.predator_loop import run_predator_training
+    import apr_tpu.data.datasets as dsmod
+
+    def cfg(out_dir, fused):
+        return APRConfig(
+            trainer="PredatorTrainer",
+            dataset="synthetic",
+            final_feats_dim=16,
+            first_feats_dim=32,
+            gnn_feats_dim=32,
+            generator_model="GenerativeMLP_54",
+            point_generation_ratio=2,
+            first_subsampling_dl=1.0,
+            conv_radius=2.5,
+            kp_capacities=(1024, 512, 256, 128),
+            neighborhood_limits=(16, 16, 16, 16),
+            point_capacity=2500,
+            apc_capacity=2048,
+            pos_radius=1.0, safe_radius=2.5, overlap_radius=1.2,
+            matchability_radius=1.2, max_points=128,
+            pair_min_dist=4.0, pair_max_dist=8.0,
+            optimizer="SGD", lr=0.01, sgd_momentum=0.98,
+            stat_freq=2,
+            out_dir=out_dir,
+            fused_build=fused,
+        )
+
+    orig = dsmod.SyntheticPairDataset
+
+    class Tiny(orig):
+        def __init__(self, **kw):
+            kw["num_pairs"] = 4 if kw.get("phase") == "train" else 2
+            kw["n_points"] = 2000
+            kw["apc_points"] = 1500
+            kw["extent"] = 25.0
+            super().__init__(**kw)
+
+    dsmod.SyntheticPairDataset = Tiny
+    try:
+        s_fused = run_predator_training(
+            cfg(str(tmp_path / "fused"), True), max_epochs=2)
+        s_plain = run_predator_training(
+            cfg(str(tmp_path / "plain"), False), max_epochs=2)
+    finally:
+        dsmod.SyntheticPairDataset = orig
+
+    assert s_fused["steps"] == s_plain["steps"] == 2
+    np.testing.assert_allclose(s_fused["last_val"]["circle_loss"],
+                               s_plain["last_val"]["circle_loss"], rtol=1e-5)
+    np.testing.assert_allclose(s_fused["last_val"]["loss"],
+                               s_plain["last_val"]["loss"], rtol=1e-5)
+    # the padded-tail pair-weighting must match too: compare the logged
+    # train-epoch loss rows
+    def epoch_losses(d):
+        rows = [json.loads(l) for l in open(d / "metrics.jsonl")]
+        return [r["loss"] for r in rows if r["phase"] == "train_epoch"]
+
+    np.testing.assert_allclose(epoch_losses(tmp_path / "fused"),
+                               epoch_losses(tmp_path / "plain"), rtol=1e-5)

@@ -9,10 +9,11 @@ identical math to the in-process pooling of --seeds N.
     python tools/pool_apr_gain.py log1.txt [log2.txt ...]
 """
 
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo/tools") if "/root/repo/tools" not in sys.path else None
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from validate_apr_gain import mcnemar_exact_p, paired_delta_ci  # noqa: E402
 
 PAT = re.compile(
