@@ -89,3 +89,40 @@ def test_benchmark_scene_recall():
     assert s1["recall"] == 1.0  # one non-consecutive gt pair, matched
     assert s2["recall"] == 0.0
     assert transformation_error(good, np.eye(4), np.eye(6)) < 1e-9
+
+
+def test_aot_compile_cache_roundtrip_and_corruption(tmp_path, monkeypatch):
+    """bench.aot_compile: miss -> save; hit -> identical outputs; corrupt
+    cache entry -> silent recompile (the driver's end-of-round bench must
+    never die on a stale .aot_cache)."""
+    import bench
+
+    monkeypatch.setattr(bench, "_AOT_DIR", str(tmp_path))
+
+    def f(x):
+        return x * 2.0 + 1.0
+
+    args = (jnp.ones((8,), jnp.float32),)
+    phases = {}
+    c1 = bench.aot_compile(f, args, "t", phases)
+    assert phases["t"]["aot"] == "miss" and "xla_s" in phases["t"]
+    files = os.listdir(tmp_path)
+    assert len(files) == 1 and files[0].endswith(".pkl")
+
+    phases2 = {}
+    c2 = bench.aot_compile(f, args, "t", phases2)
+    assert phases2["t"]["aot"] == "hit" and "load_s" in phases2["t"]
+    # NOTE: the deserialized executable is loadable but not executable on
+    # this test backend (8 virtual CPU devices -> shard-count metadata
+    # mismatch); output bit-equality of the deserialized path is verified
+    # on the real single-TPU backend by the bench itself (docs/PERF.md)
+    assert c2 is not None
+
+    # corrupt the cached executable: must fall back to a fresh compile
+    path = os.path.join(tmp_path, files[0])
+    with open(path, "wb") as fh:
+        fh.write(b"not a pickle")
+    phases3 = {}
+    c3 = bench.aot_compile(f, args, "t", phases3)
+    assert phases3["t"]["aot"] == "miss"  # load failed -> recompiled
+    np.testing.assert_array_equal(np.asarray(c3(*args)), np.asarray(c1(*args)))
