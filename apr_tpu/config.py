@@ -195,8 +195,15 @@ class APRConfig:
     # fold batch i+1's device-side build (voxelize/pyramids/correspondences)
     # into batch i's train-step program: one executable per iteration, no
     # inter-program dispatch gap (the reference hides ALL prep in DataLoader
-    # workers — complement_data_loader.py:1375; dataloader.py:76)
-    fused_build: bool = True
+    # workers — complement_data_loader.py:1375; dataloader.py:76).
+    # Default OFF: measured ~4% SLOWER than queued separate build/step
+    # programs at flagship shape (653.0 vs 627.9 ms/iter — a TPU core runs
+    # ops serially either way, and the merged program schedules slightly
+    # worse; docs/PERF.md round 4).  Turn on when host dispatch latency,
+    # not device time, is the bottleneck (e.g. high-latency tunnels): one
+    # dispatch per iteration instead of two.  Both paths are bitwise-
+    # identical (tests/test_fused_build.py).
+    fused_build: bool = False
 
     def replace(self, **kw) -> "APRConfig":
         # lists (from CLI nargs / YAML) coerce to tuples so configs stay
