@@ -172,9 +172,17 @@ class APRConfig:
     # Open3D's adaptive criteria which the hard-end sweep shows it
     # matches where it matters (docs/PERF.md, tools/sweep_ransac.py:
     # fixed-32k loses the 3-8% inlier band; escalation recovers it).
-    test_ransac_escalation_factor: int = 0
+    # None = "unset" (library treats as 0/off; the parity eval entries
+    # default it to 8); an explicit 0 pinned in config.json stays off.
+    test_ransac_escalation_factor: Optional[int] = None
     test_ransac_escalation_min_inliers: int = 30
     test_subsample: int = 5000
+    # occupancy-driven capacity bucketing (eval/bucketing.py): number of
+    # halving tiers below the worst-case capacities the tester may select
+    # per pair (0 = off, always worst-case; 2 allows /2 and /4 tiers).
+    # Each tier is one extra compiled program, jit-cached after its first
+    # pair; recall-neutral while no level overflows (test_bucketing.py)
+    test_capacity_buckets: int = 0
     rte_thresh: float = 2.0
     rre_thresh: float = 5.0
 

@@ -95,7 +95,9 @@ def load_slam_poses(seq_dir: str) -> np.ndarray:
             pose[1, :4] = values[4:8]
             pose[2, :4] = values[8:12]
             pose[3, 3] = 1.0
-            poses.append(tr_inv @ pose @ tr)
+            # Tr_inv @ (pose @ Tr): same association as the reference's
+            # nested matmuls (:289) so the chain is bit-identical
+            poses.append(tr_inv @ (pose @ tr))
     return np.asarray(poses)
 
 
@@ -138,6 +140,20 @@ def find_complement_frames(
     return False, out
 
 
+# hand-curated bad pairs the reference walk skips on the odometry-pose path
+# only (complement_data_loader.py:119-125 + the `skip_2 and use_old_pose`
+# gate at :240-241); data artifact copied by contract
+DISCARD_PAIRS = frozenset([
+    (5, 1151, 1220), (2, 926, 962), (2, 2022, 2054),
+    (1, 250, 266), (0, 3576, 3609), (2, 2943, 2979),
+    (1, 411, 423), (2, 2241, 2271), (0, 1536, 1607),
+    (0, 1338, 1439), (7, 784, 810), (2, 1471, 1498),
+    (2, 3829, 3862), (0, 1780, 1840), (2, 3294, 3356),
+    (2, 2420, 2453), (2, 4146, 4206), (0, 2781, 2829),
+    (0, 3351, 3451), (1, 428, 444), (0, 3073, 3147),
+])
+
+
 def generate_pairs(
     ts: np.ndarray,
     inames: Sequence[int],
@@ -147,8 +163,14 @@ def generate_pairs(
     num_one_side: int,
     complement_range: float,
     with_complement: bool = True,
+    discard: Optional[frozenset] = None,
+    drive: Optional[int] = None,
 ) -> List[Tuple]:
-    """Reference prepare_kitty_ply walk (:222-250), np.random.seed(0)."""
+    """Reference prepare_kitty_ply walk (:222-250), np.random.seed(0).
+
+    ``discard``/``drive``: when set (the use_old_pose path), pairs in the
+    reference's hand-curated DISCARD_PAIRS are skipped with curr += 1
+    (:240-242), which also shifts the subsequent walk."""
     files = []
     iset = set(inames)
     curr = inames[min(int(complement_range * 5), len(inames) // 2)]
@@ -169,6 +191,8 @@ def generate_pairs(
         skip1, cmpl1 = find_complement_frames(
             ts, nxt, complement_pair_dist, num_one_side, complement_range
         )
+        if discard is not None and (drive, curr, nxt) in discard:
+            skip1 = True
         if skip0 or skip1:
             curr += 1
             continue
@@ -242,6 +266,8 @@ class KittiComplementDataset(PairDataset):
                 self.config.num_complement_one_side,
                 self.complement_range,
                 with_complement=self.load_neighbourhood,
+                discard=DISCARD_PAIRS if self.use_old_pose else None,
+                drive=drive,
             )
             for p in pairs:
                 self.files.append((drive,) + p)
@@ -346,11 +372,18 @@ class KittiComplementDataset(PairDataset):
             parts = []
             for t_c, m in zip(t_cmpls, ms):
                 x = self._get_xyz(drive, t_c)
-                parts.append(x @ m[:3, :3].T + m[:3, 3])
+                parts.append(_apply(x, m))
             return np.concatenate(parts, 0).astype(np.float32)
 
         apc0 = assemble_apc(t0, pos0, cmpl0, xyz0)
         apc1 = assemble_apc(t1, pos1, cmpl1, xyz1)
+
+        if self.phase == "test" and c.downsample_single != 1.0:
+            # reference test branch downsamples BEFORE the rotation
+            # augmentation (:746-749 vs :634-637 on the train branch), so
+            # the re-centering mean is taken over the downsampled cloud
+            idx = self.rng.choice(len(xyz0), int(len(xyz0) * c.downsample_single))
+            xyz0 = xyz0[idx]
 
         if c.d3feat_augmentation and self.phase == "train":
             # Predator flavor (kitti.py:494-517) replaces the FCGF-style
@@ -375,14 +408,20 @@ class KittiComplementDataset(PairDataset):
                     out[ak] = apc[(apc ** 2).sum(-1) < r2]
             return out
 
-        # random rotation + re-centering (test_augmentation hard-coded True
-        # for KITTI, :139 + :600-614).  NOTE reference quirk preserved: the
-        # helper expects a range in DEGREES but is passed np.pi*2, so the
-        # effective rotation is only +-(2*pi * pi/180 / 2) ~ +-3.1 degrees,
+        # random rotation + re-centering.  Branch-exact reference parity:
+        # the complement branch ALWAYS augments because test_augmentation is
+        # hard-coded True in __init__ (:139) and the gate is
+        # `random_rotation or test_augmentation` (:598) with the 2*pi range
+        # (:600-601); the no-neighbourhood (test) branch gates on
+        # random_rotation alone with the pi/4 range (:753-755).  NOTE quirk
+        # preserved: the helper expects a range in DEGREES but is passed
+        # radians, so the effective rotation is only
+        # +-(range * pi/180 / 2) — ~3.1 deg (train) / ~0.4 deg (test) —
         # and T[:3,3] = R @ (-mean) re-centers each cloud at the origin.
-        if c.random_rotation:
-            t0_aug = _sample_random_trans(xyz0, self.rng, np.pi * 2)
-            t1_aug = _sample_random_trans(xyz1, self.rng, np.pi * 2)
+        if self.load_neighbourhood or c.random_rotation:
+            rot_range = np.pi * 2 if self.load_neighbourhood else np.pi / 4
+            t0_aug = _sample_random_trans(xyz0, self.rng, rot_range)
+            t1_aug = _sample_random_trans(xyz1, self.rng, rot_range)
             trans = t1_aug @ trans @ np.linalg.inv(t0_aug)
             xyz0 = _apply(xyz0, t0_aug)
             xyz1 = _apply(xyz1, t1_aug)
@@ -395,10 +434,6 @@ class KittiComplementDataset(PairDataset):
             apc0 = apc0[(apc0 ** 2).sum(-1) < (xyz0 ** 2).sum(-1).max()]
         if len(apc1):
             apc1 = apc1[(apc1 ** 2).sum(-1) < (xyz1 ** 2).sum(-1).max()]
-
-        if self.phase == "test" and c.downsample_single != 1.0:
-            idx = self.rng.choice(len(xyz0), int(len(xyz0) * c.downsample_single))
-            xyz0 = xyz0[idx]
 
         if c.random_scale and self.rng.rand() < 0.95 and self.phase == "train":
             scale = c.min_scale + (c.max_scale - c.min_scale) * self.rng.rand()
@@ -616,20 +651,26 @@ class KittiBaselinePairDataset(PairDataset):
 
 
 def _apply(points: np.ndarray, t: np.ndarray) -> np.ndarray:
+    # reference apply_transform casts the transform to float32 BEFORE the
+    # product (complement_data_loader.py:65-70); doing the same keeps the
+    # transformed clouds bit-identical to the executed reference
+    t = t.astype(np.float32)
     return points @ t[:3, :3].T + t[:3, 3]
 
 
 def _sample_random_trans(pcd: np.ndarray, rng, rotation_range: float = 360):
-    """Reference sample_random_trans parity (complement_data_loader.py:33-39):
+    """Reference sample_random_trans parity (complement_data_loader.py:29-38):
     random axis, angle = rotation_range * pi/180 * U(-0.5, 0.5), and the
-    translation R @ (-mean) re-centers the rotated cloud at the origin."""
-    from scipy.spatial.transform import Rotation
+    translation R @ (-mean) re-centers the rotated cloud at the origin.
+    Computed with the reference's exact expm(cross(I, axis/|axis| * theta))
+    formulation (same draw order and float ops) so the executed-reference
+    data-layer parity tests compare clouds bit-for-bit."""
+    from scipy.linalg import expm, norm
 
     axis = rng.rand(3) - 0.5
-    axis = axis / max(np.linalg.norm(axis), 1e-12)
-    angle = rotation_range * np.pi / 180.0 * (rng.rand(1)[0] - 0.5)
-    r = Rotation.from_rotvec(axis * angle).as_matrix()
+    theta = rotation_range * np.pi / 180.0 * (rng.rand(1) - 0.5)
+    r = expm(np.cross(np.eye(3), axis / norm(axis) * theta))
     t = np.eye(4)
     t[:3, :3] = r
-    t[:3, 3] = r @ (-pcd.mean(0))
+    t[:3, 3] = r.dot(-np.mean(pcd, axis=0))
     return t

@@ -74,7 +74,7 @@ class PredatorTester:
                 kr, xyz0, tgt_pts, corr.mask,
                 distance_threshold=0.3, ransac_n=4,
                 num_hypotheses=c.test_num_ransac_hypotheses,
-                escalation_factor=c.test_ransac_escalation_factor,
+                escalation_factor=c.test_ransac_escalation_factor or 0,
                 escalation_min_inliers=c.test_ransac_escalation_min_inliers,
             )
             rte, rre = registration_errors(res.transform, batch.t_gt)

@@ -126,7 +126,7 @@ class FeatureTester:
                 distance_threshold=thresh,
                 ransac_n=4,
                 num_hypotheses=c.test_num_ransac_hypotheses,
-                escalation_factor=c.test_ransac_escalation_factor,
+                escalation_factor=c.test_ransac_escalation_factor or 0,
                 escalation_min_inliers=c.test_ransac_escalation_min_inliers,
             )
             rte, rre = registration_errors(res.transform, t_gt)
@@ -223,10 +223,15 @@ class FeatureTester:
             stats.sec_per_pair.extend([per] * n_timed)
         return stats
 
-    def _pair_to_batch(self, pair):
+    def _pair_to_batch(self, pair, point_capacity=None, capacities=None):
+        """Build the device batch for one pair; ``point_capacity`` /
+        ``capacities`` override the config's worst-case buffers (the
+        occupancy-bucketed tiers of eval/bucketing.py)."""
         c = self.config
-        p0, m0 = pad_points(pair["points0"], c.point_capacity)
-        p1, m1 = pad_points(pair["points1"], c.point_capacity)
+        pc = point_capacity or c.point_capacity
+        caps = capacities or c.capacities
+        p0, m0 = pad_points(pair["points0"], pc)
+        p1, m1 = pad_points(pair["points1"], pc)
         zeros = np.zeros((1, 1, 3), np.float32)
         zmask = np.zeros((1, 1), bool)
         return make_pair_batch(
@@ -236,12 +241,25 @@ class FeatureTester:
             jnp.asarray(zeros), jnp.asarray(zmask),
             jnp.asarray(pair["t_gt"])[None],
             voxel_size=c.voxel_size,
-            capacities=c.capacities,
+            capacities=caps,
             conv1_kernel_size=c.conv1_kernel_size,
             corr_cap=c.corr_capacity_per_point,
             search_multiplier=c.positive_pair_search_voxel_size_multiplier,
             with_correspondences=False,
         )
+
+    def _bucketed_batch(self, pair):
+        """Batch at the smallest capacity tier holding the pair
+        (config.test_capacity_buckets > 0); worst-case buffers otherwise."""
+        c = self.config
+        if not c.test_capacity_buckets:
+            return self._pair_to_batch(pair)
+        from apr_tpu.eval.bucketing import bucket_for_pair
+
+        pc, caps = bucket_for_pair(
+            pair, c.voxel_size, c.capacities, c.point_capacity,
+            max_tiers=c.test_capacity_buckets)
+        return self._pair_to_batch(pair, point_capacity=pc, capacities=caps)
 
     def test(self, pairs: Iterable[dict], seed: int = 0,
              log_freq: int = 10, pipelined: bool = True) -> TestStats:
@@ -264,7 +282,7 @@ class FeatureTester:
             n_done = 0
             for i, pair in enumerate(pairs):
                 key, k = jax.random.split(key)
-                batch = self._pair_to_batch(pair)
+                batch = self._bucketed_batch(pair)
                 out = self._step(
                     self.state.params, self.state.batch_stats, batch, k
                 )
@@ -296,7 +314,7 @@ class FeatureTester:
         for i, pair in enumerate(pairs):
             key, k = jax.random.split(key)
             timer.tic()
-            batch = self._pair_to_batch(pair)
+            batch = self._bucketed_batch(pair)
             t_est, rte, rre, fitness = self._step(
                 self.state.params, self.state.batch_stats, batch, k
             )

@@ -86,7 +86,7 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
     key = jax.random.PRNGKey(config.seed)
     sample = next(iter(train_loader))
     if fused:
-        sample = trainer.build_batch(sample)
+        sample = jax.jit(trainer.build_batch)(sample)
     state = trainer.init_state(key, sample)
     state = replicate(state, mesh)
 
@@ -115,6 +115,10 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
     step = int(state.step)
     bigger = config.best_val_metric in _BIGGER_IS_BETTER
     summary: Dict = {}
+    # fused mode builds each epoch's FIRST batch outside train_step_fused;
+    # jit it once here (it is the same build train_step_fused traces, so
+    # eager op-by-op dispatch would cost minutes on TPU)
+    build_first = jax.jit(trainer.build_batch) if fused else None
 
     for epoch in range(start_epoch, epochs):
         state = trainer.set_lr(state, epoch)
@@ -154,7 +158,11 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
             batch = shard_batch(batch, mesh)
             data_timer.toc()
             if fused and built is None:
-                built = trainer.build_batch(batch)
+                # counted as data time so step/data telemetry covers every
+                # build (otherwise one build per epoch escapes both timers)
+                data_timer.tic()
+                built = build_first(batch)
+                data_timer.toc()
                 raw_prev = batch
                 continue
             key, k = jax.random.split(key)

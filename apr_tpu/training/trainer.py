@@ -139,13 +139,25 @@ class FCGFTrainer:
 
     def _make_optimizer(self):
         c = self.config
-        if c.optimizer != "SGD":
+        # The reference nominally exposes any torch optimizer via
+        # getattr(optim, config.optimizer) but always passes momentum=
+        # (FCGF_APR/lib/trainer.py:73-77), so its own --optimizer Adam
+        # crashes with TypeError.  Here Adam actually works: decoupled
+        # weight decay matches torch SGD's coupled form only at momentum=0,
+        # but the reference never reaches its Adam path at all, so the
+        # contract is "what the flag was meant to do".
+        if c.optimizer not in ("SGD", "Adam"):
             raise NotImplementedError(c.optimizer)
 
         def sgd(learning_rate):
+            inner = (
+                optax.adam(learning_rate)
+                if c.optimizer == "Adam"
+                else optax.sgd(learning_rate, momentum=c.sgd_momentum)
+            )
             return optax.chain(
                 optax.add_decayed_weights(c.weight_decay),
-                optax.sgd(learning_rate, momentum=c.sgd_momentum),
+                inner,
             )
 
         tx = optax.inject_hyperparams(sgd)(learning_rate=c.lr)

@@ -53,8 +53,9 @@ def main(argv=None):
     }
     # adaptive-RANSAC analog ON at this entry (reference Open3D
     # RANSACConvergenceCriteria adaptivity, test_apr.py:150-155; see
-    # docs/PERF.md hard-end sweep) unless the saved config pinned it
-    if (cfg.test_ransac_escalation_factor == 0
+    # docs/PERF.md hard-end sweep) unless the saved config pinned it —
+    # a config.json with an explicit 0 stays off (None means "unset")
+    if (cfg.test_ransac_escalation_factor is None
             and "test_ransac_escalation_factor" not in overrides):
         overrides["test_ransac_escalation_factor"] = 8
     cfg = cfg.replace(random_rotation=True, random_scale=False, **overrides)

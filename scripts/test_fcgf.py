@@ -49,8 +49,9 @@ def main(argv=None):
     }
     # adaptive-RANSAC analog ON at this entry (reference Open3D adaptivity,
     # test_apr.py:150-155; docs/PERF.md hard-end sweep); pass
-    # --test_ransac_escalation_factor 0 to disable
-    if (cfg.test_ransac_escalation_factor == 0
+    # --test_ransac_escalation_factor 0 to disable (an explicit 0 pinned
+    # in config.json is also respected — None means "unset")
+    if (cfg.test_ransac_escalation_factor is None
             and "test_ransac_escalation_factor" not in overrides):
         overrides["test_ransac_escalation_factor"] = 8
     cfg = cfg.replace(

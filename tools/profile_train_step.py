@@ -32,8 +32,11 @@ def main():
     ap.add_argument("--ratio", type=int, default=4)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--only", default="",
-                    help="comma list: step,nogen,fwd,chamfer,sustained "
-                         "(default all but sustained)")
+                    help="comma list: step,nogen,fwd,fwd2x,chamfer,"
+                         "sustained,fused.  Default runs all EXCEPT "
+                         "sustained and fused — those two compile a second "
+                         "full build+step program (~minutes) and are "
+                         "opt-in only.")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 

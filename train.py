@@ -30,9 +30,9 @@ def build_parser():
             parser.add_argument(name, type=str2bool, default=None)
         elif isinstance(f.default, tuple):
             parser.add_argument(name, type=int, nargs="+", default=None)
-        elif isinstance(f.default, int):
+        elif isinstance(f.default, int) or "int" in str(f.type):
             parser.add_argument(name, type=int, default=None)
-        elif isinstance(f.default, float):
+        elif isinstance(f.default, float) or "float" in str(f.type):
             parser.add_argument(name, type=float, default=None)
         else:
             parser.add_argument(name, type=str, default=None)
