@@ -152,6 +152,11 @@ class APRConfig:
     # CUDA; bf16 is the TPU-native mixed-precision recipe — ~4x MXU rate)
     compute_dtype: str = "bfloat16"
 
+    # window top-k strategy for the KP radius tables ("topk", "tournament",
+    # "itermin" — ops/neighbors.py _SELECTORS; all exact, chosen by the
+    # measured selector study in docs/PERF.md)
+    kp_radius_select: str = "topk"
+
     # --- static capacities (TPU buffers; no reference analog) ---
     point_capacity: int = 131072          # raw points per cloud
     capacities: Tuple[int, ...] = (16384, 8192, 4096, 2048)
@@ -176,6 +181,11 @@ class APRConfig:
     # default it to 8); an explicit 0 pinned in config.json stays off.
     test_ransac_escalation_factor: Optional[int] = None
     test_ransac_escalation_min_inliers: int = 30
+    # extra lax.cond stages (each factor x num_hypotheses) and the Open3D
+    # confidence trigger (0 = legacy min-inliers trigger only); see
+    # registration/ransac.py docstring + docs/PERF.md hard-end sweep
+    test_ransac_escalation_rungs: int = 1
+    test_ransac_escalation_confidence: float = 0.0
     test_subsample: int = 5000
     # occupancy-driven capacity bucketing (eval/bucketing.py): number of
     # halving tiers below the worst-case capacities the tester may select
@@ -212,6 +222,14 @@ class APRConfig:
     # dispatch per iteration instead of two.  Both paths are bitwise-
     # identical (tests/test_fused_build.py).
     fused_build: bool = False
+    # builder/trainer chip split (parallel/pipeline.py): this many devices
+    # build batch i+1 while the rest step on batch i — true overlap via
+    # DISJOINT chips (a chip's queue is serial, so same-chip overlap does
+    # not exist).  Default 0: with homogeneous chips and a data-parallel
+    # build, serial DP build+step is provably throughput-optimal (see the
+    # pipeline.py algebra); opt in when builders are spare capacity or the
+    # trainers must sync at a cadence the build would stall.
+    mesh_n_builders: int = 0
 
     def replace(self, **kw) -> "APRConfig":
         # lists (from CLI nargs / YAML) coerce to tuples so configs stay

@@ -78,6 +78,55 @@ def synthetic_lidar_frame(
     return pts.astype(np.float32)
 
 
+def _lidar_depth_buffer(
+    scene: np.ndarray,
+    sensor: np.ndarray,
+    rng: np.random.Generator,
+    max_range: float,
+    n_rings: int = 48,
+    az_bins: int = 2048,
+    elev_lo: float = -0.42,   # ~-24 deg
+    elev_hi: float = 0.07,    # ~+4 deg
+    noise: float = 0.01,
+) -> np.ndarray:
+    """Spinning-LiDAR scan structure via a spherical depth buffer.
+
+    Real scans are NOT thinned uniform samples: beams live on discrete
+    elevation RINGS swept in azimuth, the nearest surface per beam wins
+    (self-occlusion), and ring spacing makes density fall off with range
+    geometrically.  This models all three at once: bin each visible scene
+    point by (ring, azimuth) and keep the nearest point per bin — a
+    57k-cell spherical z-buffer.  Range-dependent density then EMERGES from
+    ring divergence instead of being painted on with Bernoulli thinning,
+    and walls genuinely shadow what is behind them.  This is the round-5
+    A/B arm testing the hypothesis the uniform-proxy null left open: that
+    APG's multi-viewpoint APC compensates precisely for ring/occlusion
+    structure (docs/PERF.md A/B section; reference README.md:6 claim).
+    """
+    rel = scene - sensor[None, :]
+    r = np.linalg.norm(rel, axis=1)
+    keep = (r < max_range) & (r > 1.5)
+    rel, r = rel[keep], r[keep]
+    az = np.arctan2(rel[:, 1], rel[:, 0])
+    elev = np.arcsin(np.clip(rel[:, 2] / r, -1.0, 1.0))
+    ring_f = (elev - elev_lo) / (elev_hi - elev_lo) * (n_rings - 1)
+    ring = np.rint(ring_f).astype(np.int64)
+    # a beam only hits what lies within ~1/3 ring spacing of its elevation
+    on_ring = (np.abs(ring_f - ring) < 0.34) & (ring >= 0) & (ring < n_rings)
+    rel, r, az, ring = rel[on_ring], r[on_ring], az[on_ring], ring[on_ring]
+    azb = np.floor((az + np.pi) / (2 * np.pi) * az_bins).astype(np.int64)
+    azb = np.clip(azb, 0, az_bins - 1)
+    bins = ring * az_bins + azb
+    # nearest return per beam: sort by (bin, range), keep first of each bin
+    order = np.lexsort((r, bins))
+    bins_sorted = bins[order]
+    first = np.ones(len(order), bool)
+    first[1:] = bins_sorted[1:] != bins_sorted[:-1]
+    pts = rel[order[first]]
+    pts = pts + rng.normal(0, noise, pts.shape).astype(np.float32)
+    return pts.astype(np.float32)
+
+
 def _sample_view(
     scene: np.ndarray,
     sensor: np.ndarray,
@@ -86,6 +135,7 @@ def _sample_view(
     n_points: int,
     max_range: float = 80.0,
     noise: float = 0.01,
+    lidar_structured: bool = False,
 ) -> np.ndarray:
     """Sample one sensor view of a SHARED world scene.
 
@@ -93,16 +143,22 @@ def _sample_view(
     Range cut + range-dependent thinning + measurement noise differ per view
     (independent rng), so the two frames observe the same world through
     different samplings — like two LiDAR scans of one street.
+    ``lidar_structured`` swaps the Bernoulli thinning for the spherical
+    depth buffer of :func:`_lidar_depth_buffer` (rings + occlusion).
     """
-    rel = scene - sensor[None, :]
-    r = np.linalg.norm(rel, axis=1)
-    keep = r < max_range
-    pts = rel[keep]
-    p_keep = np.clip(
-        12.0 / np.maximum(np.linalg.norm(pts[:, :2], axis=1), 2.0), 0.05, 1.0
-    )
-    pts = pts[rng.uniform(size=len(pts)) < p_keep]
-    pts = pts + rng.normal(0, noise, pts.shape).astype(np.float32)
+    if lidar_structured:
+        pts = _lidar_depth_buffer(scene, sensor, rng, max_range, noise=noise)
+    else:
+        rel = scene - sensor[None, :]
+        r = np.linalg.norm(rel, axis=1)
+        keep = r < max_range
+        pts = rel[keep]
+        p_keep = np.clip(
+            12.0 / np.maximum(np.linalg.norm(pts[:, :2], axis=1), 2.0),
+            0.05, 1.0
+        )
+        pts = pts[rng.uniform(size=len(pts)) < p_keep]
+        pts = pts + rng.normal(0, noise, pts.shape).astype(np.float32)
     if len(pts) > n_points:
         pts = pts[rng.choice(len(pts), n_points, replace=False)]
     c, s = np.cos(yaw), np.sin(yaw)
@@ -120,6 +176,7 @@ def _multiview_apc(
     max_range: float,
     complement_dist: float,
     frames_one_side: int,
+    lidar_structured: bool = False,
 ) -> np.ndarray:
     """APC with true multi-viewpoint structure, mirroring the reference's APG
     (FCGF_APR/lib/complement_data_loader.py:518-632): complement frames are
@@ -146,15 +203,21 @@ def _multiview_apc(
             pos_c = key_pos + travel_dir * (side * complement_dist * (i + 1))
             pos_c = pos_c + np.array(
                 [0, 0, rng.uniform(-0.2, 0.2)], np.float32)
-            # world-frame visible points from this complement origin
-            rel = scene - pos_c[None, :]
-            r = np.linalg.norm(rel, axis=1)
-            pts = scene[r < max_range]
-            rr = np.maximum(
-                np.linalg.norm(pts[:, :2] - pos_c[None, :2], axis=1), 2.0)
-            p_keep = np.clip(12.0 / rr, 0.05, 1.0)
-            pts = pts[rng.uniform(size=len(pts)) < p_keep]
-            pts = pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
+            if lidar_structured:
+                # structured complement scan in the complement body frame
+                # (no yaw), shifted back to world coords
+                pts = _lidar_depth_buffer(scene, pos_c, rng, max_range)
+                pts = pts + pos_c[None, :]
+            else:
+                # world-frame visible points from this complement origin
+                rel = scene - pos_c[None, :]
+                r = np.linalg.norm(rel, axis=1)
+                pts = scene[r < max_range]
+                rr = np.maximum(
+                    np.linalg.norm(pts[:, :2] - pos_c[None, :2], axis=1), 2.0)
+                p_keep = np.clip(12.0 / rr, 0.05, 1.0)
+                pts = pts[rng.uniform(size=len(pts)) < p_keep]
+                pts = pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
             if len(pts) > per_frame:
                 pts = pts[rng.choice(len(pts), per_frame, replace=False)]
             chunks.append(pts)
@@ -177,6 +240,7 @@ def synthetic_pair(
     max_range: float = 80.0,
     apc_complement_dist: float = 0.0,
     apc_frames_one_side: int = 3,
+    lidar_structured: bool = False,
 ):
     """A distant pair + APC targets with exact ground truth.
 
@@ -211,8 +275,10 @@ def synthetic_pair(
     pos1 = pos0 + travel * distance + np.array(
         [0.0, 0.0, rng.uniform(-0.2, 0.2)], np.float32)
 
-    p0 = _sample_view(scene, pos0, 0.0, rng, n_points, max_range=max_range)
-    p1 = _sample_view(scene, pos1, yaw, rng, n_points, max_range=max_range)
+    p0 = _sample_view(scene, pos0, 0.0, rng, n_points, max_range=max_range,
+                      lidar_structured=lidar_structured)
+    p1 = _sample_view(scene, pos1, yaw, rng, n_points, max_range=max_range,
+                      lidar_structured=lidar_structured)
 
     # x_body = R^T (x_world - pos):  x1 = R1^T (x0 + pos0 - pos1)
     c, s = np.cos(yaw), np.sin(yaw)
@@ -224,15 +290,17 @@ def synthetic_pair(
     if apc_complement_dist > 0:
         apc0 = _multiview_apc(scene, pos0, 0.0, travel, rng, apc_points,
                               max_range, apc_complement_dist,
-                              apc_frames_one_side)
+                              apc_frames_one_side, lidar_structured)
         apc1 = _multiview_apc(scene, pos1, yaw, travel, rng, apc_points,
                               max_range, apc_complement_dist,
-                              apc_frames_one_side)
+                              apc_frames_one_side, lidar_structured)
     else:
         apc0 = _sample_view(scene, pos0, 0.0, rng, apc_points,
-                            max_range=max_range)
+                            max_range=max_range,
+                            lidar_structured=lidar_structured)
         apc1 = _sample_view(scene, pos1, yaw, rng, apc_points,
-                            max_range=max_range)
+                            max_range=max_range,
+                            lidar_structured=lidar_structured)
     return dict(points0=p0, points1=p1, t_gt=t_gt, apc0=apc0, apc1=apc1)
 
 

@@ -76,6 +76,8 @@ class PredatorTester:
                 num_hypotheses=c.test_num_ransac_hypotheses,
                 escalation_factor=c.test_ransac_escalation_factor or 0,
                 escalation_min_inliers=c.test_ransac_escalation_min_inliers,
+                escalation_rungs=c.test_ransac_escalation_rungs,
+                escalation_confidence=c.test_ransac_escalation_confidence,
             )
             rte, rre = registration_errors(res.transform, batch.t_gt)
             return res.transform, rte, rre, res.fitness
@@ -98,6 +100,7 @@ class PredatorTester:
             capacities=c.kp_capacities,
             neighbor_limits=c.neighborhood_limits,
             overlap_radius=c.overlap_radius,
+            radius_select=c.kp_radius_select,
         )
 
     def test_sharded(self, pairs, mesh=None, seed: int = 0) -> TestStats:

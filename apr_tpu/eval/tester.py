@@ -128,6 +128,8 @@ class FeatureTester:
                 num_hypotheses=c.test_num_ransac_hypotheses,
                 escalation_factor=c.test_ransac_escalation_factor or 0,
                 escalation_min_inliers=c.test_ransac_escalation_min_inliers,
+                escalation_rungs=c.test_ransac_escalation_rungs,
+                escalation_confidence=c.test_ransac_escalation_confidence,
             )
             rte, rre = registration_errors(res.transform, t_gt)
             return res.transform, rte, rre, res.fitness

@@ -58,7 +58,7 @@ class KPPyramid(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("num_levels", "capacities", "neighbor_limits",
-                     "first_subsampling_dl", "conv_radius"),
+                     "first_subsampling_dl", "conv_radius", "radius_select"),
 )
 def build_kp_pyramid(
     points: jnp.ndarray,
@@ -68,6 +68,7 @@ def build_kp_pyramid(
     num_levels: int = 4,
     capacities: Sequence[int] = (16384, 4096, 1024, 256),
     neighbor_limits: Sequence[int] = (40, 40, 40, 40),
+    radius_select: str = "topk",
 ) -> KPPyramid:
     """Reference collate_fn_descriptor parity (dataloader.py:90-176).
 
@@ -94,8 +95,13 @@ def build_kp_pyramid(
         # and the window shrinks it 8x); exact up to equal-distance ties at
         # grid-subsampled density (tests/test_ops_neighbors.py)
         ns_l = pts_all[l].shape[0]
-        search = (windowed_radius_neighbors if ns_l >= 8192
-                  else radius_neighbors)
+        if ns_l >= 8192:
+            # radius_select picks the window top-k strategy (docs/PERF.md
+            # round-5 selector study; ops/neighbors.py _SELECTORS)
+            search = partial(windowed_radius_neighbors,
+                             select_method=radius_select)
+        else:
+            search = radius_neighbors
         nb = search(
             pts_all[l], pts_all[l], r, neighbor_limits[l],
             q_mask=masks_all[l], s_mask=masks_all[l],

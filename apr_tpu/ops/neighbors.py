@@ -122,8 +122,55 @@ def radius_neighbors(
     return jnp.where(d2 <= radius * radius, idx, ns).astype(jnp.int32)
 
 
+def _topk_tournament(neg_d2: jnp.ndarray, k: int,
+                     chunk: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """lax.top_k via a two-round tournament over window chunks.
+
+    top_k on TPU sorts the whole row; splitting the W-wide row into W/chunk
+    sub-rows sorts many short rows plus one (W/chunk)*k finalist row —
+    less comparator depth for k << W.  Exact: every true top-k element is
+    top-k within its own chunk.  Returns (values, indices) like lax.top_k.
+    """
+    t, w = neg_d2.shape
+    if w % chunk or w <= chunk or k > chunk:
+        return jax.lax.top_k(neg_d2, k)
+    c = w // chunk
+    sub = neg_d2.reshape(t, c, chunk)
+    v1, i1 = jax.lax.top_k(sub, k)                       # [T, C, k]
+    base = (jnp.arange(c, dtype=jnp.int32) * chunk)[None, :, None]
+    g1 = (i1 + base).reshape(t, c * k)
+    v2, i2 = jax.lax.top_k(v1.reshape(t, c * k), k)      # [T, k]
+    idx = jnp.take_along_axis(g1, i2, axis=1)
+    return v2, idx
+
+
+def _topk_itermin(neg_d2: jnp.ndarray, k: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k sequential argmax passes (VPU reductions + masked rewrite) instead
+    of a full row sort; selection-only quality, values come out sorted."""
+    t, w = neg_d2.shape
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def step(d, _):
+        i = jnp.argmax(d, axis=1).astype(jnp.int32)      # [T]
+        v = jnp.take_along_axis(d, i[:, None], 1)[:, 0]
+        d = jnp.where(cols == i[:, None], -jnp.inf, d)
+        return d, (v, i)
+
+    _, (vals, idx) = jax.lax.scan(step, neg_d2, None, length=k)
+    return vals.T, idx.T
+
+
+_SELECTORS = {
+    "topk": lambda neg, k: jax.lax.top_k(neg, k),
+    "tournament": _topk_tournament,
+    "itermin": _topk_itermin,
+}
+
+
 @partial(jax.jit,
-         static_argnames=("cap", "tile", "window", "with_overflow"))
+         static_argnames=("cap", "tile", "window", "with_overflow",
+                          "select_method"))
 def windowed_radius_neighbors(
     queries: jnp.ndarray,
     supports: jnp.ndarray,
@@ -134,6 +181,7 @@ def windowed_radius_neighbors(
     tile: int = 512,
     window: int = 2560,
     with_overflow: bool = False,
+    select_method: str = "topk",
 ) -> jnp.ndarray:
     """`radius_neighbors` via cell-key-sorted contiguous support windows.
 
@@ -155,6 +203,10 @@ def windowed_radius_neighbors(
     does the exactness margin.  ``with_overflow=True`` additionally returns
     the fraction of query tiles whose slab overflowed the window — the
     truncation telemetry (same pattern as the chamfer clamp fraction).
+
+    ``select_method`` picks the per-row k-smallest strategy (_SELECTORS:
+    "topk" / "tournament" / "itermin" — all exact; the round-5 in-context
+    study found top_k already at the floor, docs/PERF.md).
     """
     from apr_tpu.ops.chamfer_window import _slab_key, sort_cloud, _INVALID, \
         _SLAB_SHIFT, _OFFSET
@@ -206,7 +258,7 @@ def windowed_radius_neighbors(
         dz = tqz[:, None] - wz[None, :]
         d2 = dx * dx + dy * dy + dz * dz
         d2 = jnp.where(wvalid[None, :] & (d2 <= r2), d2, jnp.inf)
-        neg, widx = jax.lax.top_k(-d2, k_eff)
+        neg, widx = _SELECTORS[select_method](-d2, k_eff)
         found = jnp.isfinite(neg) & tqv[:, None]
         sidx = jnp.where(found, jnp.minimum(tlo + widx, ns), ns)
         return None, sidx

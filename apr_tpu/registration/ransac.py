@@ -39,6 +39,16 @@ class RansacResult(NamedTuple):
     inliers: jnp.ndarray    # bool [M] over the correspondence set
 
 
+def trials_needed(w: jnp.ndarray, ransac_n: int,
+                  confidence: float) -> jnp.ndarray:
+    """Open3D's RANSAC stopping count: trials T such that drawing at least
+    one all-inlier n-tuple has probability >= confidence at inlier ratio w
+    — T = log(1-conf) / log(1-w^n).  inf when w <= 0 (nothing found)."""
+    log_miss = jnp.log1p(-jnp.clip(w ** ransac_n, 0.0, 1.0 - 1e-12))
+    return jnp.where(
+        log_miss < 0, jnp.log1p(-confidence) / log_miss, jnp.inf)
+
+
 def _edge_length_ok(src, tgt, similarity: float) -> jnp.ndarray:
     """Open3D CorrespondenceCheckerBasedOnEdgeLength over an n-tuple.
 
@@ -55,7 +65,8 @@ def _edge_length_ok(src, tgt, similarity: float) -> jnp.ndarray:
 @partial(
     jax.jit,
     static_argnames=("ransac_n", "num_hypotheses", "hypothesis_chunk",
-                     "escalation_factor", "escalation_min_inliers"),
+                     "escalation_factor", "escalation_min_inliers",
+                     "escalation_rungs", "escalation_confidence"),
 )
 def ransac_pose(
     key: jax.Array,
@@ -69,6 +80,8 @@ def ransac_pose(
     hypothesis_chunk: int = 1024,
     escalation_factor: int = 0,
     escalation_min_inliers: int = 30,
+    escalation_rungs: int = 1,
+    escalation_confidence: float = 0.0,
 ) -> RansacResult:
     """RANSAC over a matched correspondence set.
 
@@ -76,16 +89,27 @@ def ransac_pose(
     tgt_xyz[i]); corr_mask: [M] validity.  Returns the best rigid transform
     mapping src -> tgt.
 
-    ``escalation_factor > 0`` adds a confidence-style second stage — the
+    ``escalation_factor > 0`` adds confidence-style extra stages — the
     fixed-batch analog of Open3D's adaptive ``RANSACConvergenceCriteria``
-    (4M trials / 10k confidence, reference FCGF_APR/scripts/test_apr.py:
-    150-155): when the first stage's best hypothesis has fewer than
-    ``escalation_min_inliers`` inliers (the low-inlier-ratio regime where a
-    fixed 32k batch can miss an all-inlier n-tuple), a ``lax.cond`` branch
-    evaluates ``escalation_factor * num_hypotheses`` additional hypotheses
-    inside the same program and keeps the overall best.  Easy pairs never
-    pay for the escalated stage (under ``vmap`` the cond becomes a select
-    and both branches run — use per-pair dispatch when escalating).
+    (reference FCGF_APR/scripts/test_apr.py:150-155): up to
+    ``escalation_rungs`` ``lax.cond`` branches each evaluate
+    ``escalation_factor * num_hypotheses`` additional hypotheses inside the
+    same program and keep the overall best.  A rung fires when EITHER
+    trigger says the answer is not yet trustworthy:
+
+    - fewer than ``escalation_min_inliers`` inliers on the best hypothesis
+      (the legacy round-4 trigger — catches "found nothing"), or
+    - ``escalation_confidence`` in (0, 1): the trials evaluated so far are
+      fewer than Open3D's stopping count  log(1-conf) / log(1-w^4)  for
+      the best fitness w = inliers/valid (catches "found SOMETHING, but at
+      this inlier ratio a batch this small still misses all-inlier tuples
+      often" — the round-4 sweep's p=0.05-0.08 gap, where spurious
+      >=30-inlier hypotheses blocked the legacy trigger; docs/PERF.md).
+
+    Easy pairs never pay for escalation (under ``vmap`` the cond becomes a
+    select and both branches run — use per-pair dispatch when escalating).
+    The escalation_factor == 0 path is bitwise-identical to the plain
+    solver (tests/test_registration.py).
     """
     m = src_xyz.shape[0]
     hypothesis_chunk = min(hypothesis_chunk, num_hypotheses)
@@ -168,7 +192,7 @@ def ransac_pose(
         b = jnp.argmax(scores)
         return scores[b], transforms[b]
 
-    k_stage1, k_stage2 = jax.random.split(key)
+    k_stage1, key = jax.random.split(key)
     best_score, best_t = run_stage(k_stage1, num_hypotheses)
 
     if escalation_factor > 0:
@@ -176,21 +200,35 @@ def ransac_pose(
             (escalation_factor * num_hypotheses) // hypothesis_chunk, 1
         ) * hypothesis_chunk
 
-        def escalate(op):
-            s0, t0 = op
-            s1, t1 = run_stage(k_stage2, n_esc)
-            better = s1 > s0
-            return jnp.where(better, s1, s0), jnp.where(better, t1, t0)
+        def needs_more(score, n_done):
+            # score = n_inl - rmse/(rmse+1) with the penalty in [0, 1), so
+            # score < k  <=>  best inlier count <= k (boundary-exact for
+            # the integer thresholds used here)
+            trig = score < escalation_min_inliers
+            if escalation_confidence > 0.0:
+                n_inl = jnp.ceil(score)
+                w = n_inl / jnp.maximum(n_valid, 1)
+                trig = trig | (n_done < trials_needed(
+                    w, ransac_n, escalation_confidence))
+            return trig
 
-        # score = n_inl - rmse/(rmse+1) with the penalty in [0, 1), so
-        # score < k  <=>  best inlier count <= k (boundary-exact for the
-        # integer thresholds used here)
-        best_score, best_t = jax.lax.cond(
-            best_score < escalation_min_inliers,
-            escalate,
-            lambda op: op,
-            (best_score, best_t),
-        )
+        for rung in range(max(escalation_rungs, 1)):
+            key, k_rung = jax.random.split(key)
+            # hypotheses evaluated before this rung — static per rung
+            n_done = num_hypotheses + rung * n_esc
+
+            def escalate(op, k_rung=k_rung):
+                s0, t0 = op
+                s1, t1 = run_stage(k_rung, n_esc)
+                better = s1 > s0
+                return jnp.where(better, s1, s0), jnp.where(better, t1, t0)
+
+            best_score, best_t = jax.lax.cond(
+                needs_more(best_score, n_done),
+                escalate,
+                lambda op: op,
+                (best_score, best_t),
+            )
 
     # local refinement: weighted Kabsch on the best hypothesis' inliers
     def refine(t, _):

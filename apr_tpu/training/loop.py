@@ -67,17 +67,37 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
     # the batch shards across the mesh: use the largest device count that
     # divides the batch size
     n_dev = len(devices)
-    while config.batch_size % n_dev != 0:
-        n_dev -= 1
-    mesh = make_mesh(devices[:n_dev])
-    if n_dev != len(devices):
-        log.info("mesh uses %d/%d devices (batch_size=%d)",
-                 n_dev, len(devices), config.batch_size)
+    pipe = None
+    if config.mesh_n_builders:
+        # builder/trainer chip split (parallel/pipeline.py): opt-in overlap
+        # of build(i+1) and step(i) on DISJOINT submeshes
+        n_build = config.mesh_n_builders
+        n_train = len(devices) - n_build
+        if (n_train >= 1 and config.batch_size % n_build == 0
+                and config.batch_size % n_train == 0):
+            from apr_tpu.parallel import BuilderTrainerPipeline
+
+            pipe = BuilderTrainerPipeline(trainer, n_build, devices)
+            mesh = pipe.train_mesh
+            log.info("mesh pipeline: %d trainers + %d builders",
+                     n_train, n_build)
+        else:
+            log.warning(
+                "mesh_n_builders=%d incompatible with %d devices / "
+                "batch_size=%d; falling back to serial DP",
+                n_build, len(devices), config.batch_size)
+    if pipe is None:
+        while config.batch_size % n_dev != 0:
+            n_dev -= 1
+        mesh = make_mesh(devices[:n_dev])
+        if n_dev != len(devices):
+            log.info("mesh uses %d/%d devices (batch_size=%d)",
+                     n_dev, len(devices), config.batch_size)
     train_ds = make_dataset(config, "train")
     val_ds = make_dataset(config, "val")
-    fused = bool(config.fused_build)
+    fused = bool(config.fused_build) and pipe is None
     train_loader = PairLoader(train_ds, config, shuffle=True, seed=config.seed,
-                              raw=fused)
+                              raw=fused or pipe is not None)
     val_loader = PairLoader(
         val_ds, config, batch_size=config.val_batch_size, shuffle=False,
         drop_last=False,
@@ -85,7 +105,7 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
 
     key = jax.random.PRNGKey(config.seed)
     sample = next(iter(train_loader))
-    if fused:
+    if fused or pipe is not None:
         sample = jax.jit(trainer.build_batch)(sample)
     state = trainer.init_state(key, sample)
     state = replicate(state, mesh)
@@ -157,11 +177,14 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
                 break
             batch = shard_batch(batch, mesh)
             data_timer.toc()
-            if fused and built is None:
+            if (fused or pipe is not None) and built is None:
                 # counted as data time so step/data telemetry covers every
                 # build (otherwise one build per epoch escapes both timers)
                 data_timer.tic()
-                built = build_first(batch)
+                if pipe is not None:
+                    built = pipe.to_trainers(pipe.build(batch))
+                else:
+                    built = build_first(batch)
                 data_timer.toc()
                 raw_prev = batch
                 continue
@@ -169,7 +192,14 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
             if config.profile_dir and step == config.profile_start:
                 jax.profiler.start_trace(config.profile_dir)
             step_timer.tic()
-            if fused:
+            if pipe is not None:
+                # builders start batch i+1 first, trainers step on batch i,
+                # then the built shards reshard to the trainer submesh —
+                # all three in flight on disjoint device queues
+                nxt = pipe.build(batch)
+                state, m = trainer.train_step(state, built, k)
+                built = pipe.to_trainers(nxt)
+            elif fused:
                 state, m, built = trainer.train_step_fused(
                     state, built, batch, k)
                 raw_prev = batch
@@ -201,6 +231,15 @@ def run_training(config: APRConfig, max_epochs: Optional[int] = None) -> Dict:
             flush_pending(m)
             step_timer.toc()
             step += 1
+        elif pipe is not None and built is not None:
+            # drain the final carried batch
+            key, k = jax.random.split(key)
+            step_timer.tic()
+            state, m = trainer.train_step(state, built, k)
+            flush_pending(m)
+            step_timer.toc()
+            step += 1
+        built = None
         flush_pending(None)
 
         epoch_scalars = {k_: mt.avg for k_, mt in meters.items()}

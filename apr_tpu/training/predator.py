@@ -53,7 +53,8 @@ class KPPairBatch(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("first_subsampling_dl", "conv_radius", "capacities",
-                     "neighbor_limits", "corr_cap", "overlap_radius"),
+                     "neighbor_limits", "corr_cap", "overlap_radius",
+                     "radius_select"),
 )
 def make_kp_pair_batch(
     points0, mask0, points1, mask1,
@@ -64,16 +65,17 @@ def make_kp_pair_batch(
     neighbor_limits=(40, 40, 40, 40),
     corr_cap=2,
     overlap_radius=0.45,
+    radius_select="topk",
 ) -> KPPairBatch:
     """One pair -> pyramids + GT correspondences (kitti.py:481 parity:
     matches found within overlap_radius on the subsampled clouds)."""
     pyr0 = build_kp_pyramid(
         points0, mask0, first_subsampling_dl, conv_radius,
-        len(capacities), capacities, neighbor_limits,
+        len(capacities), capacities, neighbor_limits, radius_select,
     )
     pyr1 = build_kp_pyramid(
         points1, mask1, first_subsampling_dl, conv_radius,
-        len(capacities), capacities, neighbor_limits,
+        len(capacities), capacities, neighbor_limits, radius_select,
     )
     corr = gt_correspondences(
         pyr0.levels[0].points, pyr1.levels[0].points, t_gt,
@@ -420,6 +422,7 @@ class PredatorTrainer:
             capacities=tuple(c.kp_capacities),
             neighbor_limits=tuple(c.neighborhood_limits),
             overlap_radius=c.overlap_radius,
+            radius_select=c.kp_radius_select,
         )
         return jax.vmap(build)(*raw)
 

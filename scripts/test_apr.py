@@ -58,6 +58,10 @@ def main(argv=None):
     if (cfg.test_ransac_escalation_factor is None
             and "test_ransac_escalation_factor" not in overrides):
         overrides["test_ransac_escalation_factor"] = 8
+        # two rungs + the Open3D confidence trigger close the measured
+        # p=0.05-0.08 gap vs fixed-256k (docs/PERF.md hard-end sweep)
+        overrides["test_ransac_escalation_rungs"] = 2
+        overrides["test_ransac_escalation_confidence"] = 0.999
     cfg = cfg.replace(random_rotation=True, random_scale=False, **overrides)
 
     trainer = get_trainer(cfg)

@@ -54,6 +54,9 @@ def main(argv=None):
     if (cfg.test_ransac_escalation_factor is None
             and "test_ransac_escalation_factor" not in overrides):
         overrides["test_ransac_escalation_factor"] = 8
+        # two rungs + the Open3D confidence trigger (docs/PERF.md sweep)
+        overrides["test_ransac_escalation_rungs"] = 2
+        overrides["test_ransac_escalation_confidence"] = 0.999
     cfg = cfg.replace(
         random_rotation=True, random_scale=False,
         test_subsample=args.num_points, **overrides,

@@ -236,3 +236,55 @@ def test_ransac_escalation(rng, jax_key):
     err = np.abs(np.asarray(esc.transform) - t_gt).max()
     assert err < 0.05, f"escalated RANSAC should recover the pose (err {err})"
     assert float(esc.fitness) >= 0.05
+
+
+def test_ransac_confidence_trigger(rng, jax_key):
+    """The confidence trigger (Open3D stopping-count analog) escalates in a
+    regime where the legacy min-inliers trigger is blind: min_inliers=0
+    never fires (any found hypothesis has >= 1 inlier), but at 6% inliers
+    the best-so-far fitness says 256 trials are nowhere near the 0.999
+    stopping count, so both rungs fire and recover the pose."""
+    from apr_tpu.registration.ransac import ransac_pose, trials_needed
+
+    # stopping-count values (closed form): ~1.10M at w=0.05, ~850 at w=0.3
+    np.testing.assert_allclose(
+        float(trials_needed(jnp.asarray(0.05), 4, 0.999)), 1.105e6,
+        rtol=0.01)
+    np.testing.assert_allclose(
+        float(trials_needed(jnp.asarray(0.3), 4, 0.999)), 851.6, rtol=0.01)
+    assert np.isinf(float(trials_needed(jnp.asarray(0.0), 4, 0.999)))
+
+    m, n_inl = 1000, 60
+    src = rng.uniform(-30, 30, (m, 3)).astype(np.float32)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = np.asarray(
+        rotation_from_euler(jnp.asarray([0.3, -0.2, 0.5])))
+    t_gt[:3, 3] = [4.0, -2.0, 1.0]
+    tgt = np.array(apply_transform(jnp.asarray(src), jnp.asarray(t_gt)))
+    outl = rng.permutation(m)[n_inl:]
+    tgt[outl] = rng.uniform(-30, 30, (len(outl), 3)).astype(np.float32)
+
+    common = dict(num_hypotheses=256, hypothesis_chunk=256,
+                  escalation_factor=256, escalation_min_inliers=0)
+    legacy = ransac_pose(jax_key, jnp.asarray(src), jnp.asarray(tgt),
+                         **common)
+    assert float(legacy.fitness) < 0.05  # min_inliers=0 never escalated
+
+    conf = ransac_pose(jax_key, jnp.asarray(src), jnp.asarray(tgt),
+                       escalation_rungs=2, escalation_confidence=0.999,
+                       **common)
+    err = np.abs(np.asarray(conf.transform) - t_gt).max()
+    assert err < 0.05, f"confidence-triggered escalation failed (err {err})"
+    # easy regime: high fitness reaches the stopping count, no escalation
+    # and therefore bitwise equality with the plain solver
+    easy_tgt = np.array(apply_transform(jnp.asarray(src), jnp.asarray(t_gt)))
+    plain = ransac_pose(jax_key, jnp.asarray(src), jnp.asarray(easy_tgt),
+                        num_hypotheses=2048, hypothesis_chunk=256)
+    conf_easy = ransac_pose(jax_key, jnp.asarray(src),
+                            jnp.asarray(easy_tgt),
+                            num_hypotheses=2048, hypothesis_chunk=256,
+                            escalation_factor=8, escalation_min_inliers=0,
+                            escalation_rungs=2,
+                            escalation_confidence=0.999)
+    np.testing.assert_array_equal(np.asarray(plain.transform),
+                                  np.asarray(conf_easy.transform))

@@ -23,6 +23,14 @@ def main():
     ap.add_argument("--points", type=int, default=30000)
     ap.add_argument("--apc", type=int, default=131072,
                     help="APC capacity (configs/train/kitti.yaml:75)")
+    ap.add_argument("--symmetric", action="store_true",
+                    help="KPFCNNDecoder symmetric generator at flagship "
+                         "shape — the config the reference declares "
+                         "unsupported for memory reasons "
+                         "(Predator_APR/README.md:55)")
+    ap.add_argument("--radius_select", default="topk",
+                    help="window top-k strategy (ops/neighbors.py "
+                         "_SELECTORS) for the radius tables")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +46,12 @@ def main():
         kp_capacities=(16384, 4096, 2048, 1024),
         neighborhood_limits=(40, 40, 40, 40),
         apc_capacity=args.apc,
+        symmetric=args.symmetric,
+        kp_radius_select=args.radius_select,
     )
+    if args.symmetric:
+        print("# symmetric KPFCNNDecoder generator at flagship shape",
+              flush=True)
     trainer = PredatorTrainer(cfg)
     d = synthetic_pair(0, n_points=args.points, apc_points=args.apc // 2,
                        distance=15.0, extent=60.0)
@@ -58,6 +71,7 @@ def main():
             capacities=cfg.kp_capacities,
             neighbor_limits=cfg.neighborhood_limits,
             overlap_radius=cfg.overlap_radius,
+            radius_select=cfg.kp_radius_select,
         )
 
     batch = build(raw)

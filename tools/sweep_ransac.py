@@ -34,17 +34,19 @@ import numpy as np
 
 
 def make_set(rng, m, ratio, extent=40.0, jitter=0.1):
-    import jax.numpy as jnp
-
-    from apr_tpu.geometry.se3 import apply_transform, rotation_from_euler
+    # pure numpy: building 150+ sets with on-device ops costs one
+    # multi-second tunnel round trip EACH (the per-dispatch latency trap,
+    # docs/PERF.md measurement methodology) — scipy matches
+    # rotation_from_euler's zyx intrinsic convention
+    from scipy.spatial.transform import Rotation
 
     n_inl = max(int(round(m * ratio)), 4)
     src = rng.uniform(-extent, extent, (m, 3)).astype(np.float32)
     t = np.eye(4, dtype=np.float32)
-    t[:3, :3] = np.asarray(
-        rotation_from_euler(jnp.asarray(rng.uniform(-0.5, 0.5, 3))))
+    t[:3, :3] = Rotation.from_euler(
+        "ZYX", rng.uniform(-0.5, 0.5, 3)).as_matrix().astype(np.float32)
     t[:3, 3] = rng.uniform(-20, 20, 3)
-    tgt = np.array(apply_transform(jnp.asarray(src), jnp.asarray(t)))
+    tgt = (src @ t[:3, :3].T + t[:3, 3]).astype(np.float32)
     tgt += rng.normal(0, jitter / np.sqrt(3), tgt.shape).astype(np.float32)
     outl = rng.permutation(m)[n_inl:]
     tgt[outl] = rng.uniform(-extent, extent, (len(outl), 3)).astype(np.float32)
@@ -67,6 +69,10 @@ def main():
     ap.add_argument("--esc_base", type=int, default=32768)
     ap.add_argument("--esc_factor", type=int, default=8)
     ap.add_argument("--esc_min_inliers", type=int, default=30)
+    ap.add_argument("--esc_rungs", type=int, default=0,
+                    help="when > 0, add a second escalation column with "
+                         "this many rungs + the confidence trigger")
+    ap.add_argument("--esc_confidence", type=float, default=0.999)
     ap.add_argument("--thresh", type=float, default=0.3)
     args = ap.parse_args()
 
@@ -82,32 +88,47 @@ def main():
     sets = {r: [make_set(rng, args.m, r) for _ in range(args.pairs)]
             for r in ratios}
 
-    configs = [(h, 0) for h in hyps] + [(args.esc_base, args.esc_factor)]
+    # (num_hypotheses, esc_factor, esc_rungs, esc_confidence)
+    configs = [(h, 0, 1, 0.0) for h in hyps]
+    configs.append((args.esc_base, args.esc_factor, 1, 0.0))
+    if args.esc_rungs > 0:
+        configs.append((args.esc_base, args.esc_factor, args.esc_rungs,
+                        args.esc_confidence))
     print(f"# pairs={args.pairs} m={args.m} thresh={args.thresh} "
           f"success=RTE<2m ∧ RRE<5°", flush=True)
     print(f"# esc config: base={args.esc_base} x{args.esc_factor} when "
-          f"best inliers < {args.esc_min_inliers}", flush=True)
+          f"best inliers < {args.esc_min_inliers}; conf-trigger column: "
+          f"rungs={args.esc_rungs} conf={args.esc_confidence}", flush=True)
     hdr = "ratio  analytic32k " + " ".join(
-        f"H={h//1024}k" + ("esc" if e else "") for h, e in configs)
+        f"H={h//1024}k" + ("" if not e else
+                           (f"esc{r}c" if c > 0 else "esc"))
+        for h, e, r, c in configs)
     print(hdr, flush=True)
     for r in ratios:
         cells = []
         times = []
-        for h, esc in configs:
+        for h, esc, rungs, conf in configs:
             succ = 0
-            t_total = 0.0
+            # submit every pair asynchronously, sync ONCE per config: a
+            # per-pair device->host sync pays the tunnel's multi-second
+            # round-trip latency up to 750 times per sweep
+            t0 = time.time()
+            results = []
             for i, (src, tgt, t_gt) in enumerate(sets[r]):
                 key = jax.random.PRNGKey(1000 * i + h + esc)
-                t0 = time.time()
                 res = ransac_pose(
                     key, jnp.asarray(src), jnp.asarray(tgt),
                     distance_threshold=args.thresh,
                     num_hypotheses=h,
                     escalation_factor=esc,
                     escalation_min_inliers=args.esc_min_inliers,
+                    escalation_rungs=rungs,
+                    escalation_confidence=conf,
                 )
-                t_est = np.array(res.transform)  # sync
-                t_total += time.time() - t0
+                results.append(res.transform)
+            transforms = [np.array(t) for t in results]  # one drain
+            t_total = time.time() - t0
+            for t_est, (_, _, t_gt) in zip(transforms, sets[r]):
                 dt, dr = errors(t_est, t_gt)
                 succ += int(dt < 2.0 and dr < 5.0)
             cells.append(succ / args.pairs)

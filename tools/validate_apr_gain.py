@@ -82,7 +82,8 @@ def make_config(loss_ratio):
 
 
 def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
-            extent, max_range, apc_complement_dist, seed0=0):
+            extent, max_range, apc_complement_dist, seed0=0,
+            lidar_structured=False):
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +99,8 @@ def run_arm(label, cfg, train_dists, eval_sets, steps, pool_pairs,
             d = synthetic_pair(s, n_points=7000, apc_points=7000,
                                distance=dist, extent=extent,
                                max_range=max_range,
-                               apc_complement_dist=apc_complement_dist)
+                               apc_complement_dist=apc_complement_dist,
+                               lidar_structured=lidar_structured)
             vals = [*pad_points(d["points0"], cfg.point_capacity),
                     *pad_points(d["points1"], cfg.point_capacity),
                     *pad_points(d["apc0"], cfg.apc_capacity),
@@ -211,6 +213,12 @@ def main():
                          "targets (reference complement_pair_dist, "
                          "train_apr_kitti.sh:21); 0 = legacy same-viewpoint "
                          "densification")
+    ap.add_argument("--lidar_structured", action="store_true",
+                    help="spherical depth-buffer scans (rings + occlusion "
+                         "+ geometric range falloff) instead of Bernoulli-"
+                         "thinned uniform sampling — the round-5 arm "
+                         "testing the structure hypothesis the round-4 "
+                         "null left open (docs/PERF.md)")
     ap.add_argument("--arms", default="apr,baseline",
                     help="subset of arms to run (apr | baseline)")
     ap.add_argument("--seeds", type=int, default=1,
@@ -235,7 +243,8 @@ def main():
         dist: [synthetic_pair(EVAL_SEED_BASE + 100 * di + s,
                               n_points=args.eval_points,
                               apc_points=4, distance=dist, extent=args.extent,
-                              max_range=args.max_range)
+                              max_range=args.max_range,
+                              lidar_structured=args.lidar_structured)
                for s in range(args.eval_pairs)]
         for di, dist in enumerate(eval_dists)
     }
@@ -255,7 +264,8 @@ def main():
             res = run_arm(label, make_config(ratio), train_dists,
                           eval_sets, args.steps, args.pool_pairs,
                           args.extent, args.max_range,
-                          args.apc_complement_dist, seed0=seed0)
+                          args.apc_complement_dist, seed0=seed0,
+                          lidar_structured=args.lidar_structured)
             for d in eval_dists:
                 outcomes[label][d].append(res[d]["success"])
 
