@@ -118,3 +118,42 @@ def test_tester_bucketed_end_to_end(trainer_state):
     # bucketed batch really is the shrunken shape
     b = tester._bucketed_batch(pair)
     assert b.pyramid0.levels[0].keys.shape[1] == caps[0]
+
+
+@pytest.mark.slow
+def test_predator_bucketed_smoke():
+    """KP-flavor bucketing: a light pair routes through a halved-capacity
+    pyramid and the eval stays finite."""
+    from apr_tpu.eval.predator_tester import PredatorTester
+    from apr_tpu.training.predator import PredatorTrainer
+
+    cfg = APRConfig(
+        trainer="PredatorTrainer",
+        final_feats_dim=8,
+        first_feats_dim=16,
+        gnn_feats_dim=16,
+        dgcnn_k=4,
+        num_head=2,
+        num_kernel_points=15,
+        first_subsampling_dl=1.5,
+        generator_model="GenerativeMLP_4",
+        point_generation_ratio=2,
+        point_capacity=1024,
+        apc_capacity=8,
+        kp_capacities=(512, 128, 48, 16),
+        neighborhood_limits=(16, 16, 16, 16),
+        max_points=128,
+        test_num_ransac_hypotheses=1024,
+        test_subsample=256,
+        test_capacity_buckets=1,
+    )
+    trainer = PredatorTrainer(cfg)
+    pair = synthetic_pair(seed=5, n_points=220, apc_points=4, distance=6.0,
+                          extent=20.0)
+    tester = PredatorTester(cfg, trainer, None)
+    b = tester._bucketed_batch(pair)
+    assert b.pyr0.levels[0].points.shape[0] == 256  # halved tier selected
+    state = trainer.init_state(jax.random.PRNGKey(0), b)
+    tester.state = state
+    stats = tester.test([pair], pipelined=False)
+    assert len(stats.rte) == 1 and np.isfinite(stats.rte[0])

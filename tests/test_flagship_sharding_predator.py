@@ -84,3 +84,63 @@ def test_predator_flagship_batched_step_shards_and_compiles():
     assert exe is not None
     # the partitioner really saw a 2-device program
     assert "num_partitions=2" in lowered.as_text() or exe is not None
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV, reason="needs 2 devices")
+def test_predator_flagship_symmetric_step_compiles():
+    """Symmetric KPFCNNDecoder at FLAGSHIP shape (round-5 verdict item 8):
+    the config the reference declares unsupported for memory reasons
+    (Predator_APR/README.md:55) partitions + compiles at 32k pts / 16384
+    superpoints over the mesh.  Shape-only AOT like the test above; the
+    measured train-step time at this shape lives in docs/PERF.md."""
+    cfg = APRConfig(
+        trainer="PredatorTrainer",
+        batch_size=N_DEV,
+        point_capacity=32768,
+        kp_capacities=(16384, 4096, 2048, 1024),
+        neighborhood_limits=(40, 40, 40, 40),
+        apc_capacity=32768,
+        symmetric=True,
+        point_generation_ratio=2,
+    )
+    trainer = PredatorTrainer(cfg)
+
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    pts = sds((cfg.point_capacity, 3), f32)
+    msk = sds((cfg.point_capacity,), bool)
+    apc = sds((cfg.apc_capacity, 3), f32)
+    amsk = sds((cfg.apc_capacity,), bool)
+    tgt = sds((4, 4), f32)
+
+    build = functools.partial(
+        make_kp_pair_batch,
+        first_subsampling_dl=cfg.first_subsampling_dl,
+        conv_radius=cfg.conv_radius,
+        capacities=cfg.kp_capacities,
+        neighbor_limits=cfg.neighborhood_limits,
+        overlap_radius=cfg.overlap_radius,
+    )
+    batch1 = jax.eval_shape(build, pts, msk, pts, msk,
+                            apc, amsk, apc, amsk, tgt)
+    key = sds((2,), jnp.uint32)
+    state1 = jax.eval_shape(trainer.init_state, key, batch1)
+
+    mesh = make_mesh(jax.devices()[:N_DEV])
+    repl = NamedSharding(mesh, P())
+
+    def shard_sds(s):
+        spec = P("data", *([None] * (s.ndim - 1))) if s.ndim >= 1 else P()
+        return sds(s.shape, s.dtype, sharding=NamedSharding(mesh, spec))
+
+    big = jax.tree.map(
+        lambda s: shard_sds(sds((N_DEV,) + s.shape, s.dtype)), batch1)
+    state = jax.tree.map(lambda s: sds(s.shape, s.dtype, sharding=repl),
+                         state1)
+    keys = shard_sds(sds((N_DEV, 2), jnp.uint32))
+    w_sal = sds((), f32, sharding=repl)
+
+    lowered = type(trainer).train_step_batched.lower(
+        trainer, state, big, keys, w_sal)
+    exe = lowered.compile()
+    assert exe is not None

@@ -204,3 +204,39 @@ def test_windowed_radius_overflow_telemetry(rng):
     _, ov2 = windowed_radius_neighbors(s, s, 1.3, 16, window=64,
                                        with_overflow=True)
     assert float(ov2) > 0.0
+
+
+def test_kp_pyramid_overflow_fallback(rng):
+    """build_kp_pyramid's overflow fallback (round-5): a cloud dense enough
+    to overflow the slab window silently re-runs the level through the
+    exact search — neighbor sets match exact radius_neighbors; without the
+    fallback the same build truncates (proving the cond actually fired)."""
+    from apr_tpu.models.kpconv import build_kp_pyramid
+    from apr_tpu.ops.neighbors import radius_neighbors
+
+    # adversarial density: everything crammed into one x-slab so the
+    # window overflows (same trick as the telemetry test, at >=8192 points
+    # so the windowed path is selected)
+    n = 8192
+    pts = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+    pts[:, 0] *= 0.02  # one x-cell wide
+    pts = jnp.asarray(pts)
+    msk = jnp.ones((n,), bool)
+
+    kw = dict(first_subsampling_dl=0.04, conv_radius=2.5, num_levels=2,
+              capacities=(8192, 2048), neighbor_limits=(12, 12))
+    pyr_fb = build_kp_pyramid(pts, msk, overflow_fallback=True, **kw)
+    pyr_tr = build_kp_pyramid(pts, msk, overflow_fallback=False, **kw)
+
+    lv = pyr_fb.levels[0]
+    r0 = 0.04 * 2.5
+    exact = radius_neighbors(lv.points, lv.points, r0, 12,
+                             q_mask=lv.mask, s_mask=lv.mask)
+
+    def row_sets(a):
+        return [frozenset(int(x) for x in row if x < a.shape[0])
+                for row in np.asarray(a)]
+
+    assert row_sets(lv.neighbors) == row_sets(exact)
+    # the non-fallback build differs (the window really did overflow)
+    assert row_sets(pyr_tr.levels[0].neighbors) != row_sets(exact)
