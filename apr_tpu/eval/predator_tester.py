@@ -84,10 +84,12 @@ class PredatorTester:
 
         return step
 
-    def _pair_to_batch(self, pair):
+    def _pair_to_batch(self, pair, point_capacity=None, capacities=None):
         c = self.config
-        p0, m0 = pad_points(pair["points0"], c.point_capacity)
-        p1, m1 = pad_points(pair["points1"], c.point_capacity)
+        pc = point_capacity or c.point_capacity
+        caps = capacities or c.kp_capacities
+        p0, m0 = pad_points(pair["points0"], pc)
+        p1, m1 = pad_points(pair["points1"], pc)
         zeros = np.zeros((1, 3), np.float32)
         zmask = np.zeros((1,), bool)
         return make_kp_pair_batch(
@@ -97,11 +99,25 @@ class PredatorTester:
             jnp.asarray(pair["t_gt"]),
             first_subsampling_dl=c.first_subsampling_dl,
             conv_radius=c.conv_radius,
-            capacities=c.kp_capacities,
+            capacities=caps,
             neighbor_limits=c.neighborhood_limits,
             overlap_radius=c.overlap_radius,
             radius_select=c.kp_radius_select,
         )
+
+    def _bucketed_batch(self, pair):
+        """KP-flavor occupancy bucketing (config.test_capacity_buckets —
+        same tier machinery as FeatureTester, eval/bucketing.py; the L0
+        grid is first_subsampling_dl)."""
+        c = self.config
+        if not c.test_capacity_buckets:
+            return self._pair_to_batch(pair)
+        from apr_tpu.eval.bucketing import bucket_for_pair
+
+        pc, caps = bucket_for_pair(
+            pair, c.first_subsampling_dl, c.kp_capacities, c.point_capacity,
+            max_tiers=c.test_capacity_buckets)
+        return self._pair_to_batch(pair, point_capacity=pc, capacities=caps)
 
     def test_sharded(self, pairs, mesh=None, seed: int = 0) -> TestStats:
         """Multi-chip eval fan-out (SURVEY.md §5.8), Predator flavor: groups
@@ -177,7 +193,7 @@ class PredatorTester:
             key, k = jax.random.split(key)
             if not pipelined:
                 timer.tic()
-            batch = self._pair_to_batch(pair)
+            batch = self._bucketed_batch(pair)
             out = self._step(self.state.params, batch, k)
             stats.pair_dist.append(float(np.linalg.norm(pair["t_gt"][:3, 3])))
             if pipelined:

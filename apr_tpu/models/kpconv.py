@@ -58,7 +58,8 @@ class KPPyramid(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("num_levels", "capacities", "neighbor_limits",
-                     "first_subsampling_dl", "conv_radius", "radius_select"),
+                     "first_subsampling_dl", "conv_radius", "radius_select",
+                     "overflow_fallback"),
 )
 def build_kp_pyramid(
     points: jnp.ndarray,
@@ -69,6 +70,7 @@ def build_kp_pyramid(
     capacities: Sequence[int] = (16384, 4096, 1024, 256),
     neighbor_limits: Sequence[int] = (40, 40, 40, 40),
     radius_select: str = "topk",
+    overflow_fallback: bool = True,
 ) -> KPPyramid:
     """Reference collate_fn_descriptor parity (dataloader.py:90-176).
 
@@ -97,11 +99,32 @@ def build_kp_pyramid(
         ns_l = pts_all[l].shape[0]
         if ns_l >= 8192:
             # radius_select picks the window top-k strategy (docs/PERF.md
-            # round-5 selector study; ops/neighbors.py _SELECTORS)
-            search = partial(windowed_radius_neighbors,
-                             select_method=radius_select)
+            # round-5 selector study; ops/neighbors.py _SELECTORS).
+            # overflow_fallback makes the windowed default SAFE rather than
+            # merely monitored (round-4 verdict weak-item 6): a cloud dense
+            # enough to overflow a tile's slab window re-runs that level
+            # through the exact brute-force search via lax.cond — only the
+            # taken branch executes, so well-behaved clouds pay ~nothing.
+            # Callers that vmap the build (the grouped train path) pass
+            # overflow_fallback=False: under vmap a cond lowers to a select
+            # that executes BOTH branches; there the overflow stays
+            # telemetry (training/predator.py build_batch_group).
+            def search(q, s, rr, cap, q_mask, s_mask):
+                out, ovf = windowed_radius_neighbors(
+                    q, s, rr, cap, q_mask=q_mask, s_mask=s_mask,
+                    with_overflow=True, select_method=radius_select)
+                if not overflow_fallback:
+                    return out
+                return jax.lax.cond(
+                    ovf > 0,
+                    lambda: radius_neighbors(q, s, rr, cap, q_mask=q_mask,
+                                             s_mask=s_mask),
+                    lambda: out,
+                )
         else:
-            search = radius_neighbors
+            def search(q, s, rr, cap, q_mask, s_mask):
+                return radius_neighbors(q, s, rr, cap, q_mask=q_mask,
+                                        s_mask=s_mask)
         nb = search(
             pts_all[l], pts_all[l], r, neighbor_limits[l],
             q_mask=masks_all[l], s_mask=masks_all[l],

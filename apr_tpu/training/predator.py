@@ -54,7 +54,7 @@ class KPPairBatch(NamedTuple):
     jax.jit,
     static_argnames=("first_subsampling_dl", "conv_radius", "capacities",
                      "neighbor_limits", "corr_cap", "overlap_radius",
-                     "radius_select"),
+                     "radius_select", "overflow_fallback"),
 )
 def make_kp_pair_batch(
     points0, mask0, points1, mask1,
@@ -66,16 +66,19 @@ def make_kp_pair_batch(
     corr_cap=2,
     overlap_radius=0.45,
     radius_select="topk",
+    overflow_fallback=True,
 ) -> KPPairBatch:
     """One pair -> pyramids + GT correspondences (kitti.py:481 parity:
     matches found within overlap_radius on the subsampled clouds)."""
     pyr0 = build_kp_pyramid(
         points0, mask0, first_subsampling_dl, conv_radius,
         len(capacities), capacities, neighbor_limits, radius_select,
+        overflow_fallback,
     )
     pyr1 = build_kp_pyramid(
         points1, mask1, first_subsampling_dl, conv_radius,
         len(capacities), capacities, neighbor_limits, radius_select,
+        overflow_fallback,
     )
     corr = gt_correspondences(
         pyr0.levels[0].points, pyr1.levels[0].points, t_gt,
@@ -423,6 +426,10 @@ class PredatorTrainer:
             neighbor_limits=tuple(c.neighborhood_limits),
             overlap_radius=c.overlap_radius,
             radius_select=c.kp_radius_select,
+            # under vmap a cond lowers to a select executing BOTH branches;
+            # the grouped train build keeps overflow as telemetry instead
+            # (build_kp_pyramid docstring)
+            overflow_fallback=False,
         )
         return jax.vmap(build)(*raw)
 
