@@ -541,9 +541,13 @@ class KittiBaselinePairDataset(PairDataset):
         self.root = config.kitti_root
         self.rng = np.random.RandomState(config.seed)
         self.icp_path = os.path.join(self.root, "icp")
-        # reference baselines disable rotation augmentation at test time
-        # (TEST_RANDOM_ROTATION = False, data_loaders.py:291)
-        self.random_rotation = config.random_rotation and phase != "test"
+        # reference baselines NEVER rotation-augment: every KITTI*PairDataset
+        # __init__ overrides the caller's flag with
+        # TEST_RANDOM_ROTATION = False before PairDataset.__init__
+        # (data_loaders.py:291,302-305,556,649) — at ALL phases, not just
+        # test.  Round-4 preserved this only for test; round-5 executes the
+        # reference loader and matches it exactly.
+        self.random_rotation = False
         self.drives = (splits or DEFAULT_SPLITS)[phase]
         self.poses: Dict[int, np.ndarray] = {}
         self.files: List[Tuple[int, int, int]] = []

@@ -435,3 +435,133 @@ def test_test_items_bitwise(ref_datasets, our_datasets):
             o = _voxel_select(our_cloud, 0.3)
             assert r.shape == o.shape, (idx, r.shape, o.shape)
             np.testing.assert_array_equal(r, o)
+
+
+# ---------------------------------------------------------------------------
+# Executed-reference parity: the BASELINE (non-APG) walks + item assembly
+# (FCGF_APR/lib/data_loaders.py KITTI{,NM,RandDist}PairDataset)
+# ---------------------------------------------------------------------------
+
+def _o3d_with_icp_stub():
+    """The data-loader ICP call is stubbed to identity refinement, so the
+    executed GT equals the velo2cam odometry chain — exactly what our
+    baseline returns with no ICP cache; the real refinement is produced
+    offline by tools/prepare_icp_cache.py on both sides."""
+    o3d = _working_o3d_stub()
+    reg = o3d.pipelines.registration
+
+    class _Result:
+        transformation = np.eye(4)
+
+    reg.registration_icp = lambda *a, **k: _Result()
+    reg.TransformationEstimationPointToPoint = lambda *a, **k: None
+    reg.ICPConvergenceCriteria = lambda *a, **k: None
+    return o3d
+
+
+@pytest.fixture(scope="module")
+def kitti_tree_odo(kitti_tree):
+    """Add the odometry-pose layout (<root>/dataset/poses/00.txt) the
+    baseline loaders read (data_loaders.py:356-357)."""
+    root = kitti_tree / "dataset"
+    poses_dir = root / "poses"
+    poses_dir.mkdir(exist_ok=True)
+    seq = root / "sequences" / "00"
+    lines = open(seq / "poses.txt").read().strip().splitlines()
+    with open(poses_dir / "00.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return kitti_tree
+
+
+@pytest.fixture(scope="module")
+def ref_baselines(kitti_tree_odo):
+    torch = pytest.importorskip("torch")
+    _register_future_fstrings()
+    me, me_utils = _working_me_stub(torch)
+    o3d = _o3d_with_icp_stub()
+
+    with _isolated("lib", "util", "model", "MinkowskiEngine", "open3d"):
+        sys.modules["MinkowskiEngine"] = me
+        sys.modules["MinkowskiEngine.utils"] = me_utils
+        sys.modules["open3d"] = o3d
+        sys.modules["open3d.geometry"] = o3d.geometry
+        sys.modules["open3d.utility"] = o3d.utility
+        sys.path.insert(0, FCGF)
+        try:
+            import lib.data_loaders as dl
+
+            files = {
+                "train": str(kitti_tree_odo / "train_split.txt"),
+                "val": str(kitti_tree_odo / "train_split.txt"),
+                "test": str(kitti_tree_odo / "test_split.txt"),
+            }
+            for cls in (dl.KITTIPairDataset, dl.KITTINMPairDataset,
+                        dl.KITTIRandDistPairDataset):
+                cls.DATA_FILES = files
+            cfg = _RefCfg(
+                kitti_root=str(kitti_tree_odo),
+                voxel_size=0.3,
+                positive_pair_search_voxel_size_multiplier=1.5,
+                min_scale=0.8, max_scale=1.2, rotation_range=360,
+                kitti_max_time_diff=4,
+            )
+            td = dl.KITTIPairDataset("train", random_scale=False,
+                                     manual_seed=True, config=cfg)
+            nm = dl.KITTINMPairDataset("train", random_scale=False,
+                                       manual_seed=True, config=cfg)
+            np.random.seed(0)  # the RandDist walk consumes GLOBAL np.random
+            rd = dl.KITTIRandDistPairDataset("train", random_scale=False,
+                                             manual_seed=True, config=cfg)
+            yield dict(time_diff=td, nm=nm, rand_dist=rd)
+        finally:
+            sys.path.remove(FCGF)
+
+
+def _our_baseline(kitti_tree, mode):
+    from apr_tpu.data.kitti import KittiBaselinePairDataset
+
+    cfg = _our_cfg(kitti_tree).replace(kitti_max_time_diff=4,
+                                       random_rotation=True)
+    return KittiBaselinePairDataset(cfg, "train", mode,
+                                    splits={"train": [0]})
+
+
+def test_baseline_walks_executed(ref_baselines, kitti_tree_odo):
+    ours_td = _our_baseline(kitti_tree_odo, "time_diff")
+    # time_diff iterates glob order (unsorted) in the reference — compare
+    # as multisets
+    assert sorted(map(tuple, ref_baselines["time_diff"].files)) \
+        == sorted(map(tuple, ours_td.files))
+    assert len(ours_td.files) > 50
+
+    ours_nm = _our_baseline(kitti_tree_odo, "nm")
+    assert [tuple(map(int, f)) for f in ref_baselines["nm"].files] \
+        == [tuple(map(int, f)) for f in ours_nm.files]
+    assert len(ours_nm.files) > 3
+
+    ours_rd = _our_baseline(kitti_tree_odo, "rand_dist")
+    assert [tuple(map(int, f)) for f in ref_baselines["rand_dist"].files] \
+        == [tuple(map(int, f)) for f in ours_rd.files]
+    assert len(ours_rd.files) > 3
+
+
+def test_baseline_items_bitwise(ref_baselines, kitti_tree_odo):
+    """NM items: baselines NEVER rotate (TEST_RANDOM_ROTATION override at
+    every phase, data_loaders.py:302-305) and with identity-stubbed ICP
+    the GT is the raw velo2cam odometry chain — both must match ours
+    bit-for-bit after the shared voxel map."""
+    ref_ds = ref_baselines["nm"]
+    our_ds = _our_baseline(kitti_tree_odo, "nm")
+    n = min(3, len(ref_ds))
+    for idx in range(n):
+        (xyz0_t, xyz1_t, coords0, coords1, feats0, feats1, matches,
+         trans) = ref_ds[idx]
+        ours = our_ds.get_pair(idx)
+        np.testing.assert_allclose(np.asarray(trans, np.float32),
+                                   ours["t_gt"], atol=2e-5, rtol=1e-6)
+        for ref_cloud, our_cloud in ((xyz0_t, ours["points0"]),
+                                     (xyz1_t, ours["points1"])):
+            r = np.asarray(ref_cloud)
+            o = _voxel_select(our_cloud, 0.3)
+            assert r.shape == o.shape, (idx, r.shape, o.shape)
+            np.testing.assert_array_equal(r, o)
