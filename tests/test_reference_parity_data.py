@@ -565,3 +565,90 @@ def test_baseline_items_bitwise(ref_baselines, kitti_tree_odo):
             o = _voxel_select(our_cloud, 0.3)
             assert r.shape == o.shape, (idx, r.shape, o.shape)
             np.testing.assert_array_equal(r, o)
+
+
+# ---------------------------------------------------------------------------
+# Executed-reference parity: the nuScenes complement WALK
+# (PairComplementNuscenesDataset, complement_data_loader.py:825-930)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def nuscenes_tree(tmp_path_factory):
+    """Mini converted-nuScenes tree: {root}/{phase}/sequences/<log>/
+    velodyne/*.bin + poses.npy (lidar->world 4x4 per frame)."""
+    from scipy.spatial.transform import Rotation
+
+    base = tmp_path_factory.mktemp("nusc_ref")
+    seq = base / "train" / "sequences" / "log-0042"
+    (seq / "velodyne").mkdir(parents=True)
+    heading, pos = 0.0, np.zeros(3)
+    poses = []
+    for t in range(140):
+        heading += 0.04 * np.cos(t / 7.0)
+        pos = pos + 2.0 * np.array(
+            [np.cos(heading), np.sin(heading), 0.0])
+        p = np.eye(4)
+        p[:3, :3] = Rotation.from_euler("z", heading).as_matrix()
+        p[:3, 3] = pos
+        poses.append(p)
+        pts = synthetic_lidar_frame(seed=5000 + t, n_points=1500,
+                                    extent=25.0)
+        xyzr = np.concatenate(
+            [pts, np.ones((len(pts), 1), np.float32)], axis=1)
+        xyzr.astype(np.float32).tofile(seq / "velodyne" / ("%06d.bin" % t))
+    np.save(seq / "poses.npy", np.asarray(poses))
+    return base
+
+
+def test_nuscenes_walk_executed(nuscenes_tree):
+    """Reference nuScenes walk (same seed-0 stream + complement selection
+    as KITTI, minus the discard list, plus the [::3][:1200] train slice)
+    vs NuscenesComplementDataset — pair-for-pair."""
+    torch = pytest.importorskip("torch")
+    _register_future_fstrings()
+    me, me_utils = _working_me_stub(torch)
+    o3d = _working_o3d_stub()
+
+    with _isolated("lib", "util", "model", "MinkowskiEngine", "open3d"):
+        sys.modules["MinkowskiEngine"] = me
+        sys.modules["MinkowskiEngine.utils"] = me_utils
+        sys.modules["open3d"] = o3d
+        sys.modules["open3d.geometry"] = o3d.geometry
+        sys.modules["open3d.utility"] = o3d.utility
+        sys.path.insert(0, FCGF)
+        try:
+            import lib.complement_data_loader as cdl
+
+            cfg = _RefCfg(
+                kitti_root=str(nuscenes_tree),
+                voxel_size=0.3,
+                positive_pair_search_voxel_size_multiplier=1.5,
+                min_scale=0.8, max_scale=1.2, rotation_range=360,
+                use_old_pose=True,  # asserted True by the loader
+                pair_min_dist=5.0, pair_max_dist=10.0,
+                min_sample_frame_dist=50.0,
+                complement_pair_dist=4.0, num_complement_one_side=2,
+                mutate_neighbour_percentage=0.0,
+                test_augmentation=True, LoNUSCENES=False,
+                downsample_single=1.0,
+            )
+            ref = cdl.PairComplementNuscenesDataset(
+                "train", transform=None, random_rotation=True,
+                random_scale=False, manual_seed=True, config=cfg)
+            ref_files = list(ref.files)
+        finally:
+            sys.path.remove(FCGF)
+
+    from apr_tpu.data.nuscenes import NuscenesComplementDataset
+
+    ours = NuscenesComplementDataset(
+        _our_cfg(nuscenes_tree).replace(  # kitti_root already points at base
+            kitti_root=str(nuscenes_tree)),
+        "train")
+    assert len(ref_files) > 5
+    assert len(ref_files) == len(ours.files)
+    for rf, of in zip(ref_files, ours.files):
+        assert str(rf[0]) == str(of[0])
+        assert (int(rf[1]), int(rf[2])) == (int(of[1]), int(of[2]))
+        assert list(rf[3]) == list(of[3])
+        assert list(rf[4]) == list(of[4])
