@@ -191,8 +191,17 @@ class APRConfig:
     # halving tiers below the worst-case capacities the tester may select
     # per pair (0 = off, always worst-case; 2 allows /2 and /4 tiers).
     # Each tier is one extra compiled program, jit-cached after its first
-    # pair; recall-neutral while no level overflows (test_bucketing.py)
-    test_capacity_buckets: int = 0
+    # pair; recall-neutral while no level overflows (test_bucketing.py).
+    # None = "unset" (library treats as off; the parity eval entries
+    # default it to 2 — measured 1.7-2.2x on under-full clouds,
+    # docs/PERF.md); an explicit 0 pinned in config.json stays off.
+    test_capacity_buckets: Optional[int] = None
+    # train-time analog (data/pipeline.py): the loader groups each epoch's
+    # pairs into capacity tiers so light batches train in shrunken buffers
+    # (one extra train-step compile per tier, jit-cached).  Off by
+    # default; ignored under fused_build / mesh_n_builders (those carry a
+    # single static batch shape through their fused/split programs)
+    train_capacity_buckets: int = 0
     rte_thresh: float = 2.0
     rre_thresh: float = 5.0
 

@@ -86,13 +86,19 @@ def collate_raw(pairs: Sequence[dict], config: APRConfig):
     return tuple(jnp.asarray(np.stack(c)) for c in cols)
 
 
-def collate_pairs(pairs: Sequence[dict], config: APRConfig) -> PairBatch:
-    """Pad a list of pair dicts into one device batch."""
+def collate_pairs(pairs: Sequence[dict], config: APRConfig,
+                  point_capacity: Optional[int] = None,
+                  capacities=None) -> PairBatch:
+    """Pad a list of pair dicts into one device batch; ``point_capacity``
+    / ``capacities`` override the config's worst-case buffers (the
+    capacity tiers of eval/bucketing.py)."""
+    if point_capacity is not None:
+        config = config.replace(point_capacity=point_capacity)
     arrs = collate_raw(pairs, config)
     return make_pair_batch(
         *arrs,
         voxel_size=config.voxel_size,
-        capacities=config.capacities,
+        capacities=tuple(capacities or config.capacities),
         conv1_kernel_size=config.conv1_kernel_size,
         corr_cap=config.corr_capacity_per_point,
         search_multiplier=config.positive_pair_search_voxel_size_multiplier,
@@ -121,6 +127,12 @@ class PairLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.raw = raw  # yield collate_raw tuples for the fused-build path
+        # capacity-tier batching (config.train_capacity_buckets): group
+        # each epoch's pairs into occupancy tiers so light batches build +
+        # train in shrunken buffers (eval/bucketing.py select logic); only
+        # meaningful for built (non-raw) batches
+        self.bucket_tiers = 0 if raw else int(
+            getattr(config, "train_capacity_buckets", 0) or 0)
         self._epoch = 0
 
     def __len__(self):
@@ -140,6 +152,10 @@ class PairLoader:
     def __iter__(self) -> Iterator[PairBatch]:
         order = self._index_order()
 
+        if self.bucket_tiers:
+            yield from self._iter_bucketed(order)
+            return
+
         def build_batch(b):
             # collate IN the producer thread: jax dispatch is async and
             # thread-safe, so batch i+1's H2D transfers and device-side
@@ -154,3 +170,39 @@ class PairLoader:
             return collate_pairs(pairs, self.config)
 
         yield from prefetched(range(len(self)), build_batch, self.prefetch)
+
+    def _iter_bucketed(self, order):
+        """Tier-batched epoch: pairs accumulate per capacity tier and a
+        batch is emitted when its tier fills, so every batch carries a
+        uniform (smallest-fitting) buffer shape.  Leftover pairs re-tier
+        to worst-case buffers at epoch end; the final partial batch drops
+        under drop_last — the same tail semantics as plain batching."""
+        from apr_tpu.eval.bucketing import bucket_for_pair
+
+        c = self.config
+
+        def tiered_batches():
+            accs = {}
+            for i in order:
+                pair = self.dataset.get_pair(int(i))
+                tier = bucket_for_pair(
+                    pair, c.voxel_size, c.capacities, c.point_capacity,
+                    max_tiers=self.bucket_tiers)
+                accs.setdefault(tier, []).append(pair)
+                if len(accs[tier]) == self.batch_size:
+                    yield tier, accs.pop(tier)
+            # leftovers in arrival order at the worst-case tier
+            rest = [p for tier in list(accs) for p in accs.pop(tier)]
+            full = (c.point_capacity, tuple(c.capacities))
+            for b in range(0, len(rest), self.batch_size):
+                chunk = rest[b:b + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    break
+                yield full, chunk
+
+        def build(item):
+            (pc, caps), pairs = item
+            return collate_pairs(pairs, c, point_capacity=pc,
+                                 capacities=caps)
+
+        yield from prefetched(tiered_batches(), build, self.prefetch)

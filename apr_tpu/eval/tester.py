@@ -175,16 +175,40 @@ class FeatureTester:
 
         import time as _time
 
+        # tier-aware grouping (config.test_capacity_buckets): consecutive
+        # runs of same-tier pairs form groups so every group compiles at
+        # its own (smaller) capacities; input ORDER is preserved (results
+        # stay aligned with the dataset), at worst costing extra padded
+        # tail groups at tier boundaries — adjacent KITTI frames have
+        # correlated sizes, so runs are long in practice
+        def tier_of(pair):
+            if not c.test_capacity_buckets:
+                return (c.point_capacity, tuple(c.capacities))
+            from apr_tpu.eval.bucketing import bucket_for_pair
+
+            return bucket_for_pair(pair, c.voxel_size, c.capacities,
+                                   c.point_capacity,
+                                   max_tiers=c.test_capacity_buckets)
+
+        groups = []
+        for pair in pairs:
+            t = tier_of(pair)
+            if groups and groups[-1][0] == t and len(groups[-1][1]) < d:
+                groups[-1][1].append(pair)
+            else:
+                groups.append((t, [pair]))
+
         t0 = None
         n_timed = 0
-        for g in range(0, len(pairs), d):
-            group = pairs[g:g + d]
+        for (pc, caps), group in groups:
+            n_real = len(group)
+            group = list(group)
             while len(group) < d:  # pad the tail group by repetition
                 group.append(group[-1])
             cols = [[] for _ in range(4)]
             for pair in group:
-                p0, m0 = pad_points(pair["points0"], c.point_capacity)
-                p1, m1 = pad_points(pair["points1"], c.point_capacity)
+                p0, m0 = pad_points(pair["points0"], pc)
+                p1, m1 = pad_points(pair["points1"], pc)
                 for col, v in zip(cols, (p0, m0, p1, m1)):
                     col.append(v)
             zeros = jnp.zeros((d, 1, 3))
@@ -194,7 +218,7 @@ class FeatureTester:
                 jnp.asarray(np.stack(cols[2])), jnp.asarray(np.stack(cols[3])),
                 zeros, zmask, zeros, zmask,
                 jnp.asarray(np.stack([p["t_gt"] for p in group])),
-                voxel_size=c.voxel_size, capacities=c.capacities,
+                voxel_size=c.voxel_size, capacities=caps,
                 conv1_kernel_size=c.conv1_kernel_size,
                 corr_cap=c.corr_capacity_per_point,
                 search_multiplier=c.positive_pair_search_voxel_size_multiplier,
@@ -210,8 +234,8 @@ class FeatureTester:
             if t0 is None:
                 t0 = _time.time()  # first group pays compilation
             else:
-                n_timed += len(pairs[g:g + d])
-            for i in range(len(pairs[g:g + d])):
+                n_timed += n_real
+            for i in range(n_real):
                 r, e = float(rte[i]), float(rre[i])
                 e = e if np.isfinite(e) else 180.0
                 stats.rte.append(r)

@@ -36,6 +36,9 @@ def main(argv=None):
                     default=None,
                     help="adaptive-RANSAC escalation factor "
                          "(0 disables; this entry defaults to 8)")
+    ap.add_argument("--test_capacity_buckets", type=int, default=None,
+                    help="occupancy-bucket tiers (0 disables; this entry "
+                         "defaults to 2)")
     args = ap.parse_args(argv)
 
     import jax
@@ -62,6 +65,11 @@ def main(argv=None):
         # p=0.05-0.08 gap vs fixed-256k (docs/PERF.md hard-end sweep)
         overrides["test_ransac_escalation_rungs"] = 2
         overrides["test_ransac_escalation_confidence"] = 0.999
+    # occupancy bucketing ON at this entry (recall-neutral, 1.7x on
+    # under-full clouds — docs/PERF.md); a pinned 0 stays off
+    if (cfg.test_capacity_buckets is None
+            and "test_capacity_buckets" not in overrides):
+        overrides["test_capacity_buckets"] = 2
     cfg = cfg.replace(random_rotation=True, random_scale=False, **overrides)
 
     trainer = get_trainer(cfg)

@@ -29,6 +29,8 @@ def main(argv=None):
     ap.add_argument("--pair_max_dist", type=float, default=None)
     ap.add_argument("--num_points", type=int, default=5000)
     ap.add_argument("--num_pairs", type=int, default=None)
+    ap.add_argument("--test_capacity_buckets", type=int, default=None,
+                    help="occupancy-bucket tiers (0 disables; defaults 2)")
     ap.add_argument("--test_ransac_escalation_factor", type=int, default=None,
                     help="adaptive-RANSAC escalation factor "
                          "(0 disables; this entry defaults to 8)")
@@ -57,6 +59,10 @@ def main(argv=None):
         # two rungs + the Open3D confidence trigger (docs/PERF.md sweep)
         overrides["test_ransac_escalation_rungs"] = 2
         overrides["test_ransac_escalation_confidence"] = 0.999
+    # occupancy bucketing ON at this entry (recall-neutral; docs/PERF.md)
+    if (cfg.test_capacity_buckets is None
+            and "test_capacity_buckets" not in overrides):
+        overrides["test_capacity_buckets"] = 2
     cfg = cfg.replace(
         random_rotation=True, random_scale=False,
         test_subsample=args.num_points, **overrides,

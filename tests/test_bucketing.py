@@ -157,3 +157,68 @@ def test_predator_bucketed_smoke():
     tester.state = state
     stats = tester.test([pair], pipelined=False)
     assert len(stats.rte) == 1 and np.isfinite(stats.rte[0])
+
+
+class _MixedSizeDataset:
+    """Alternating light/heavy synthetic pairs to exercise tier batching."""
+
+    def __init__(self, n=8):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get_pair(self, i):
+        n_pts = 250 if i % 2 == 0 else 1400
+        return synthetic_pair(seed=i, n_points=n_pts, apc_points=4,
+                              distance=6.0, extent=20.0)
+
+
+def test_train_loader_bucketed_batches():
+    """PairLoader with train_capacity_buckets groups pairs into uniform
+    capacity tiers; light batches come out in shrunken buffers."""
+    from apr_tpu.data.pipeline import PairLoader
+
+    cfg = CFG.replace(train_capacity_buckets=2, batch_size=2,
+                      apc_capacity=8)
+    loader = PairLoader(_MixedSizeDataset(8), cfg, shuffle=False,
+                        drop_last=True)
+    sizes = []
+    n_pairs = 0
+    for batch in loader:
+        c0 = batch.pyramid0.levels[0].keys.shape[1]
+        assert batch.batch_size == 2
+        sizes.append(c0)
+        n_pairs += batch.batch_size
+    assert n_pairs == 8
+    # both tiers appeared: the light pairs shrank, the heavy ones did not
+    assert min(sizes) < max(sizes)
+    assert max(sizes) == CFG.capacities[0]
+
+    # raw mode (fused/pipeline paths) ignores bucketing
+    raw_loader = PairLoader(_MixedSizeDataset(4), cfg, shuffle=False,
+                            raw=True)
+    assert raw_loader.bucket_tiers == 0
+
+
+@pytest.mark.slow
+def test_train_steps_across_tiers(trainer_state):
+    """Two train steps at different capacity tiers share one TrainState
+    (params are shape-independent) and both stay finite."""
+    from apr_tpu.data.pipeline import PairLoader
+    from apr_tpu.training import get_trainer
+
+    cfg = CFG.replace(
+        train_capacity_buckets=2, batch_size=2, apc_capacity=2048,
+        num_pos_per_batch=64, num_hn_samples_per_batch=32)
+    trainer = get_trainer(cfg)
+    loader = PairLoader(_MixedSizeDataset(4), cfg, shuffle=False,
+                        drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert (batches[0].pyramid0.levels[0].keys.shape[1]
+            != batches[1].pyramid0.levels[0].keys.shape[1])
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+    for i, b in enumerate(batches):
+        state, m = trainer.train_step(state, b, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["loss"]))

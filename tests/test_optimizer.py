@@ -81,3 +81,12 @@ def test_escalation_factor_cli_parses_as_int():
     assert ns.test_ransac_escalation_factor == 4
     ns2 = parser.parse_args(["--test_ransac_dist_thresh", "0.45"])
     assert ns2.test_ransac_dist_thresh == 0.45
+
+
+def test_capacity_buckets_pinned_zero_roundtrip(tmp_path):
+    # same Optional semantics as the escalation factor: default None
+    # ("unset"), explicit 0 survives the json round-trip
+    assert APRConfig().test_capacity_buckets is None
+    p = str(tmp_path / "config.json")
+    APRConfig(test_capacity_buckets=0).save_json(p)
+    assert APRConfig.load_json(p).test_capacity_buckets == 0

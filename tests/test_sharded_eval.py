@@ -92,3 +92,35 @@ def test_sequence_parallel_chamfer_matches_single(rng):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gb_sp), np.asarray(gb_1),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_eval_tier_grouping(rng):
+    """test_capacity_buckets in the sharded path: mixed-size pairs form
+    same-tier groups (input order preserved), every pair evaluated once."""
+    cfg = APRConfig(
+        trainer="GenerativePairTrainer", model="ResUNetBN2", model_n_out=16,
+        conv1_kernel_size=3, generator_model="GenerativeMLP_54",
+        point_generation_ratio=2, voxel_size=1.0,
+        point_capacity=2048, capacities=(1024, 512, 256, 128),
+        apc_capacity=8,
+        test_num_ransac_hypotheses=1024, test_subsample=256,
+        test_capacity_buckets=2,
+    )
+    trainer = get_trainer(cfg)
+    # light, light, heavy, light: tier changes force a group break
+    sizes = [250, 250, 1800, 250]
+    pairs = [synthetic_pair(s, n_points=n, apc_points=4, distance=5.0,
+                            extent=25.0) for s, n in enumerate(sizes)]
+    tester = FeatureTester(cfg, trainer, None)
+    b0 = tester._pair_to_batch(pairs[2])
+    state = trainer.init_state(jax.random.PRNGKey(0), b0)
+    tester.state = state
+
+    mesh = make_mesh(jax.devices()[:2])
+    stats = tester.test_sharded(pairs, mesh=mesh, seed=0)
+    assert len(stats.rte) == 4
+    assert all(np.isfinite(stats.rte))
+    # order preserved: pair_dist matches the input order
+    expect = [float(np.linalg.norm(p["t_gt"][:3, 3])) for p in pairs]
+    np.testing.assert_allclose(stats.pair_dist, expect, rtol=1e-6)
