@@ -97,6 +97,10 @@ def aot_compile(fn, example_args, tag, phases):
     p["trace_s"] = round(time.time() - t0, 1)
     path = None
     try:
+        # the fingerprint is deterministic for a fixed code state
+        # (verified round 5: identical hashes across fresh processes) but
+        # changes when ANY op in the traced path changes — a sweep/config
+        # edit mints a new entry, which is why the cache is LRU-bounded
         fp = hashlib.sha256(hlo_text.encode()).hexdigest()[:16]
         dev = jax.devices()[0].device_kind.replace(" ", "_")
         path = os.path.join(
